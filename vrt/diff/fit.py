@@ -1,0 +1,111 @@
+"""Differentiable fitting: optimize SDF / per-voxel color / materials /
+camera pose from pixel losses.
+
+No reference counterpart — the reference renders forward only.  The gradient
+path is the IFT-at-the-root construction of ``vrt.march.resolve``: pixel
+losses backprop through shading and the isosurface hit into the 8 corner SDF
+gathers of each hit cell (scatter-add on the grid), the per-voxel color
+trilinears, material constants, light parameters, and camera rays.
+
+The traversal acceleration field is *recomputed from the current SDF inside
+the jitted step* (a chain of max-pools, ``vrt.volume.accel``) so the
+optimized geometry is always marched consistently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vrt.render.camera import camera_rays
+from vrt.render.gpuscene import GPUScene, RenderMode
+from vrt.render.renderer import tonemap, trace_radiance
+from vrt.volume.accel import build_accel
+
+
+def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
+    """Graft an optimizable parameter pytree into a scene.
+
+    Supported keys: 'sdf' [V,N,N,N], 'voxel_colors' [V,N,N,N,3],
+    'tint' [V,4], 'roughness' [V], 'metallic' [V], 'cam_pos' [3],
+    'cam_rot' [4], light fields by name.
+    """
+    vols = scene.volumes
+    if "sdf" in params:
+        vols = dataclasses.replace(vols, sdf=params["sdf"])
+    scene = dataclasses.replace(scene, volumes=vols)
+    direct = {k: v for k, v in params.items()
+              if k not in ("sdf",) and hasattr(scene, k)}
+    if direct:
+        scene = dataclasses.replace(scene, **direct)
+    return scene
+
+
+def rebuild_accel(scene: GPUScene) -> GPUScene:
+    """Rebuild the skip-level field from the (possibly updated) SDF.
+
+    Works under jit; assumes all volumes share the padded resolution (the
+    single-resolution fit configuration).
+    """
+    sdf = scene.volumes.sdf
+    n = sdf.shape[-1]
+    resolution = (n - 1).bit_length() - 1
+    accel = jax.vmap(lambda s: build_accel(s, resolution))(sdf)
+    return dataclasses.replace(
+        scene, volumes=dataclasses.replace(scene.volumes, accel=accel))
+
+
+def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
+                 height: int, mode: RenderMode):
+    """Render one image per camera dict {position, rotation, fov}; returns
+    [C,H*W,3] tonemapped."""
+    imgs = []
+    for cam in cams:
+        o, d = camera_rays(jnp.asarray(cam["position"]),
+                           jnp.asarray(cam["rotation"]),
+                           jnp.asarray(cam.get("fov", 60.0)), width, height)
+        imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))
+    return jnp.stack(imgs)
+
+
+def make_fit_step(scene: GPUScene, cams: Sequence[Dict], width: int,
+                  height: int, mode: RenderMode, optimizer):
+    """Single-device fit step factory.
+
+    step(params, opt_state, targets[C,H*W,3]) -> (params, opt_state, loss)
+    """
+
+    @jax.jit
+    def step(params, opt_state, targets):
+        def loss_fn(p):
+            s = rebuild_accel(graft_params(scene, p))
+            imgs = render_views(s, cams, width, height, mode)
+            return jnp.mean((imgs - targets) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit(scene: GPUScene, params: Dict, cams: Sequence[Dict], targets,
+        width: int, height: int, mode: RenderMode = RenderMode(),
+        steps: int = 100, learning_rate: float = 1e-2, log_every: int = 0):
+    """Convenience loop: adam-fit ``params`` to multi-view ``targets``."""
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_fit_step(scene, cams, width, height, mode, optimizer)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, targets)
+        if log_every and i % log_every == 0:
+            print(f"step {i}: loss {float(loss):.6f}", flush=True)
+        losses.append(loss)
+    return params, [float(l) for l in losses]

@@ -1,0 +1,109 @@
+"""Engine loop — the headless ``VEngine`` equivalent.
+
+The reference engine (``VR/Engine/Private/Engine.cpp:40-60, 201-262``) runs a
+blocking loop: tick the app instance, tick all registered objects, render,
+post-render, measure dt and a 1-second-window FPS counter.  The TPU engine
+keeps that lifecycle (so demo/app code ports over) but renders headlessly
+into device arrays; windowing/swapchain are non-goals (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from vrt.render.gpuscene import RenderMode
+from vrt.render.renderer import render_image
+from vrt.scene.scene import Scene
+
+
+class EngineInstance:
+    """App callback interface (``IEngineInstance``)."""
+
+    def on_engine_initialized(self, engine: "Engine") -> None:
+        pass
+
+    def on_engine_update(self, engine: "Engine", dt: float) -> None:
+        pass
+
+    def on_engine_shutdown(self, engine: "Engine") -> None:
+        pass
+
+
+class Engine:
+    def __init__(self, instance: EngineInstance,
+                 width: int = 512, height: int = 512,
+                 mode: RenderMode = RenderMode()):
+        self.instance = instance
+        self.scene: Optional[Scene] = None
+        self.width = width
+        self.height = height
+        self.render_mode = mode
+        self.fps = 0.0
+        self.frame_count = 0
+        self.last_frame: Optional[np.ndarray] = None
+        self._running = False
+        self._gpu_scene = None
+        self._needs_sync = True
+
+    def set_scene(self, scene: Scene) -> None:
+        self.scene = scene
+        self._needs_sync = True
+
+    def set_render_mode(self, mode: RenderMode) -> None:
+        self.render_mode = mode
+
+    def start(self, max_frames: Optional[int] = None,
+              frame_callback: Optional[Callable] = None) -> None:
+        """Blocking engine loop (``VEngine::StartEngineLoop``)."""
+        self._running = True
+        self.instance.on_engine_initialized(self)
+
+        last = time.perf_counter()
+        fps_window_start = last
+        fps_frames = 0
+
+        while self._running:
+            now = time.perf_counter()
+            dt = now - last
+            last = now
+
+            self.instance.on_engine_update(self, dt)
+            if self.scene is not None:
+                self.scene.tick(dt)
+                self.render_frame()
+                self.scene.post_render()
+
+            self.frame_count += 1
+            fps_frames += 1
+            if now - fps_window_start >= 1.0:  # 1 s FPS window (Engine.cpp:250-262)
+                self.fps = fps_frames / (now - fps_window_start)
+                fps_window_start = now
+                fps_frames = 0
+
+            if frame_callback is not None:
+                frame_callback(self)
+            if max_frames is not None and self.frame_count >= max_frames:
+                break
+
+        self.instance.on_engine_shutdown(self)
+        self._running = False
+
+    def stop(self) -> None:
+        self._running = False
+
+    def render_frame(self) -> np.ndarray:
+        """One frame: sync dirty scene state to device, render, readback."""
+        if self._needs_sync or any(v.dirty for v in self.scene.volumes):
+            self._gpu_scene = self.scene.to_gpu()
+            self._needs_sync = False
+        else:
+            # cheap per-frame constants update (camera/lights/transforms)
+            self._gpu_scene = self.scene.to_gpu(
+                pad_volumes_to=self._gpu_scene.volumes.sdf.shape[1])
+        img = render_image(self._gpu_scene, self.width, self.height,
+                           self.render_mode)
+        self.last_frame = np.asarray(img)
+        return self.last_frame

@@ -1,0 +1,92 @@
+"""Device-side volume + march result pytrees."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrt.volume.accel import build_accel
+from vrt.volume.volume import VoxelVolume
+
+# Hit kinds, mirroring the distinct ReportHit sites of the intersection
+# shaders (SH/Raytracing.hlsl:147-336, SH/Raytracing_Cube.hlsl).
+KIND_NONE = 0        # ray left the volume without a hit
+KIND_SURFACE = 1     # isosurface root inside a cell (interp modes)
+KIND_SOLID_ENTRY = 2 # entry cell fully solid -> hit at volume entry face
+KIND_EXHAUSTED = 3   # 255-iteration cap -> reference reports t=10, unlit red
+KIND_CUBE = 4        # cube mode: entered a voxel with density <= 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceVolume:
+    """One voxel volume's device state (optionally padded to a common N).
+
+    ``sdf``/``materials`` are [N,N,N] indexed [x,y,z]; ``accel`` is the packed
+    skip-level field [N-1,N-1,N-1] (see ``vrt.volume.accel``).  ``n`` is the
+    *actual* voxel count per axis (<= N) so volumes of different resolutions
+    can share one batched pytree.
+    """
+
+    sdf: jax.Array        # f32 [N,N,N]
+    materials: jax.Array  # i32 [N,N,N]
+    accel: jax.Array      # i32 [N-1,N-1,N-1]
+    n: jax.Array          # i32 [] actual voxels per axis
+    cell_size: jax.Array  # f32 []
+    extends: jax.Array    # f32 []
+
+    @classmethod
+    def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None
+                    ) -> "DeviceVolume":
+        """Host-side (numpy) assembly — a single device transfer per array,
+        no eager device ops (the accel build runs vectorized on the host)."""
+        n = vol.n_voxels
+        pad_n = pad_to or n
+        assert pad_n >= n
+        sdf = np.asarray(vol.sdf, np.float32)
+        mats = np.asarray(vol.voxel_materials, np.int32)
+        accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
+        if pad_n > n:
+            p = pad_n - n
+            sdf = np.pad(sdf, ((0, p),) * 3)
+            mats = np.pad(mats, ((0, p),) * 3)
+            accel = np.pad(accel, ((0, p),) * 3)
+        return cls(sdf=jnp.asarray(sdf), materials=jnp.asarray(mats),
+                   accel=jnp.asarray(accel),
+                   n=jnp.asarray(n, jnp.int32),
+                   cell_size=jnp.asarray(vol.cell_size, jnp.float32),
+                   extends=jnp.asarray(vol.extends, jnp.float32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MarchHit:
+    """Per-ray march result (batched [R])."""
+
+    hit: jax.Array          # bool
+    t: jax.Array            # f32, +inf when no hit
+    kind: jax.Array         # i32, KIND_*
+    cell: jax.Array         # i32 [R,3] hit cell (surface/cube kinds)
+    t_in: jax.Array         # f32 bracket entry used for the cubic
+    t_out: jax.Array        # f32 bracket exit used for the cubic
+    face_normal: jax.Array  # f32 [R,3] face normal (solid-entry / cube kinds)
+
+    @classmethod
+    def none(cls, r: int) -> "MarchHit":
+        return cls(hit=jnp.zeros(r, bool),
+                   t=jnp.full(r, np.inf, jnp.float32),
+                   kind=jnp.zeros(r, jnp.int32),
+                   cell=jnp.zeros((r, 3), jnp.int32),
+                   t_in=jnp.zeros(r, jnp.float32),
+                   t_out=jnp.zeros(r, jnp.float32),
+                   face_normal=jnp.zeros((r, 3), jnp.float32))
+
+    def select(self, mask, other: "MarchHit") -> "MarchHit":
+        """Lanewise: self where mask else other."""
+        def sel(a, b):
+            m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
+            return jnp.where(m, a, b)
+        return jax.tree.map(sel, self, other)

@@ -1,0 +1,318 @@
+"""The full render pipeline — raygen, scene traversal, shading, tonemap.
+
+TPU re-design of the DXR dispatch (``VDXRenderer::DoRendering`` +
+``SH/Raytracing*.hlsl``):
+
+- the TLAS over per-instance AABBs becomes a ``lax.scan`` over the (<= 20)
+  instances: rays are transformed into each instance's object space, marched
+  (``vrt.march``) and the closest accepted hit wins — exactly DXR's
+  closest-hit resolution for this scene scale,
+- the recursive ``TraceRay`` tree (radiance -> shadow/reflection, recursion
+  cap 3, ``SH/RaytracingHlsl.h:32``) is unrolled statically: depth-0/1/2
+  radiance traces with masked reflection lanes,
+- shading reproduces ``VRClosestHit`` (``SH/Raytracing.hlsl:41-145``) with
+  its variants (_NoTex: constant material + geometric normal; _Unlit:
+  albedo only), the miss env lookup, and raygen's Reinhard + gamma tonemap.
+
+Known deliberate deviation: the reference indexes the spot-light *color* with
+the point-light loop variable (``g_spotLightsCB[pi]``,
+``SH/Raytracing.hlsl:127``) — an out-of-scope-variable bug we do not
+reproduce; we use the spot light's own color.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vrt.core import quat as vq
+from vrt.march import isosurface as iso
+from vrt.march.march import march_volume
+from vrt.march.resolve import resolve_hits
+from vrt.march.types import MarchHit
+from vrt.render.gpuscene import (GPUScene, RenderMode, MAX_POINT_LIGHTS,
+                                 MAX_SPOT_LIGHTS)
+from vrt.shade import brdf as _brdf
+from vrt.shade import lights as _lights
+from vrt.shade import texture as _tex
+
+MAX_RAY_RECURSION_DEPTH = 3  # SH/RaytracingHlsl.h:32
+RADIANCE_TMAX = 10000.0      # SH/Include/Ray.hlsli:72
+DIR_SHADOW_TMAX = 5000.0     # SH/Raytracing.hlsl:59
+
+
+def _world_to_object(pos, rot, scale, o_w, d_w):
+    """Instance transform is rotation*scale*translation in row-vector
+    convention (``RDXLevelObject.cpp:44-50``): world = diag(s)*R(v) + p.
+    Rays transform with the inverse; t values are preserved."""
+    qi = vq.conjugate(rot)
+    o = vq.rotate(qi, (o_w - pos) / scale)
+    d = vq.rotate(qi, d_w / scale)
+    return o, d
+
+
+def _object_normal_to_world(rot, scale, n_obj):
+    """Normals transform through ObjectToWorld with w=0: diag(s)*R(n),
+    *not* renormalized (``SH/Raytracing.hlsl:73-75``)."""
+    return vq.rotate(rot, n_obj) * scale
+
+
+def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool):
+    """Closest hit across all active instances.
+
+    Returns (hit: MarchHit (object-space brackets of the winning instance),
+    inst: i32 [R] winning instance id, -1 when none).
+    """
+    r = o_w.shape[0]
+    best = MarchHit.none(r)
+    best_inst = jnp.full(r, -1, jnp.int32)
+
+    def step(carry, i):
+        best, best_inst = carry
+        vi = scene.inst_volume[i]
+        vol = jax.tree.map(lambda x: x[vi], scene.volumes)
+        o, d = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
+                                scene.inst_scale[i], o_w, d_w)
+        h = march_volume(vol, o, d, t_max, interp=interp)
+        better = scene.inst_active[i] & h.hit & (h.t < best.t)
+        best = h.select(better, best)
+        best_inst = jnp.where(better, i, best_inst)
+        return (best, best_inst), None
+
+    (best, best_inst), _ = jax.lax.scan(
+        step, (best, best_inst), jnp.arange(scene.num_instances))
+    return best, best_inst
+
+
+def _per_ray_instance(scene: GPUScene, inst):
+    """Gather per-ray instance transform + volume data (inst i32 [R])."""
+    ic = jnp.maximum(inst, 0)
+    vol_id = scene.inst_volume[ic]
+    return dict(
+        vol=vol_id,
+        pos=scene.inst_pos[ic],
+        rot=scene.inst_rot[ic],
+        scale=scene.inst_scale[ic],
+        n=scene.volumes.n[vol_id],
+        cell_size=scene.volumes.cell_size[vol_id],
+        extends=scene.volumes.extends[vol_id],
+    )
+
+
+def resolve_scene(scene: GPUScene, o_w, d_w, hit: MarchHit, inst):
+    """Differentiable (t, object-space normal, unlit) for scene hits."""
+    pr = _per_ray_instance(scene, inst)
+    o, d = _world_to_object(pr["pos"], pr["rot"], pr["scale"], o_w, d_w)
+    fetch = iso.make_stacked_fetch(scene.volumes.sdf, pr["n"], pr["vol"])
+    return resolve_hits(fetch, pr["cell_size"], pr["extends"], o, d, hit)
+
+
+def _voxel_color_sample(scene: GPUScene, pr, hit: MarchHit, o_w, d_w, t):
+    """Trilinear sample of the per-voxel color field at the hit point
+    (differentiable-fit extension; replaces tint*texture as albedo)."""
+    o, d = _world_to_object(pr["pos"], pr["rot"], pr["scale"], o_w, d_w)
+    h = pr["cell_size"]
+    cell = hit.cell
+    cell_base = cell.astype(jnp.float32) * h[..., None] - pr["extends"][..., None]
+    p = (o + d * t[..., None] - cell_base) / h[..., None]
+    colors = scene.voxel_colors
+    v_count, nn = colors.shape[0], colors.shape[1]
+    flat = colors.reshape(-1, 3)
+    idx = cell[:, None, :] + iso.CORNERS[None, :, :]           # [R,8,3]
+    valid = jnp.all((idx >= 0) & (idx < pr["n"][:, None, None]), axis=-1)
+    ic = jnp.clip(idx, 0, nn - 1)
+    lin = (pr["vol"][:, None] * (nn * nn * nn) + ic[..., 0] * (nn * nn)
+           + ic[..., 1] * nn + ic[..., 2])
+    cvals = jnp.where(valid[..., None], flat[lin], 0.0)        # [R,8,3]
+    w = jnp.abs((1.0 - iso.CORNERS)[None, :, :] - p[:, None, :])
+    w = jnp.prod(w, axis=-1)                                   # [R,8]
+    return jnp.sum(w[..., None] * cvals, axis=1)
+
+
+def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
+                 interp: bool):
+    """Boolean occlusion trace (``TraceShadowRay``, ``Ray.hlsli:81-109``):
+    any accepted hit within [0, max_dist] blocks; recursion-capped rays
+    return un-blocked."""
+    if depth >= MAX_RAY_RECURSION_DEPTH:
+        return jnp.zeros(o_w.shape[0], bool)
+    hit, _ = march_scene(scene, o_w, d_w, max_dist, interp)
+    return hit.hit
+
+
+def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
+               depth: int, mode: RenderMode):
+    """``VRClosestHit`` lit path (``SH/Raytracing.hlsl:49-144``)."""
+    pr = _per_ray_instance(scene, inst)
+    vol_id = pr["vol"]
+
+    hit_pos = o_w + t[..., None] * d_w
+    shadow_origin = hit_pos - d_w * 0.1
+
+    shadow_dir_hit = trace_shadow(scene, shadow_origin,
+                                  jnp.broadcast_to(scene.dir_light_dir,
+                                                   d_w.shape),
+                                  jnp.full(t.shape, DIR_SHADOW_TMAX),
+                                  depth + 1, mode.interp)
+
+    diffuse = jnp.full(d_w.shape, _brdf.SHADOW_BRIGHTNESS)
+
+    tint = scene.tint[vol_id][..., :3]
+    k = scene.k[vol_id]
+
+    if mode.textured:
+        obj_pos = vq.rotate(vq.conjugate(pr["rot"]),
+                            (hit_pos - pr["pos"]) / pr["scale"])
+        tscale = scene.tex_scale[vol_id]
+        albedo = tint * _tex.tri_sample(scene.textures, scene.tex_sizes,
+                                        scene.albedo_tex[vol_id], tscale,
+                                        obj_pos, n_obj)
+        rm = _tex.tri_sample(scene.textures, scene.tex_sizes,
+                             scene.rm_tex[vol_id], tscale, obj_pos, n_obj)
+        roughness = jnp.clip(scene.roughness[vol_id] * rm[..., 0], 0.0, 1.0)
+        metallic = jnp.clip(scene.metallic[vol_id] * rm[..., 1], 0.0, 1.0)
+        n_shade = _tex.tri_sample_normal(scene.textures, scene.tex_sizes,
+                                         scene.normal_tex[vol_id], tscale,
+                                         obj_pos, n_obj)
+    else:
+        albedo = tint
+        roughness = jnp.clip(scene.roughness[vol_id], 0.0, 1.0)
+        metallic = jnp.clip(scene.metallic[vol_id], 0.0, 1.0)
+        n_shade = n_obj
+
+    if scene.use_voxel_colors:
+        albedo = _voxel_color_sample(scene, pr, hit, o_w, d_w, t)
+
+    n_w = _object_normal_to_world(pr["rot"], pr["scale"], n_shade)
+    wo = -d_w
+
+    # mirror reflection for roughness < 0.3 (SH/Raytracing.hlsl:79-91).
+    # Statically skipped when no scene material can reflect — the traced
+    # contribution would be identically zero (Radiance with Li = 0).
+    if scene.any_reflective and depth + 1 < MAX_RAY_RECURSION_DEPTH:
+        refl_dir = d_w - 2.0 * jnp.sum(d_w * n_w, -1, keepdims=True) * n_w
+        refl_dir = refl_dir / jnp.linalg.norm(refl_dir, axis=-1, keepdims=True)
+        refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
+                                  depth + 1, mode)
+        refl_rgb = jnp.maximum(
+            0.0, refl_rgb * (1.0 - (roughness * 2.2)[..., None]))
+        add = _brdf.radiance(refl_rgb, refl_dir, wo, n_w, albedo,
+                             roughness, metallic, k)
+        diffuse = diffuse + jnp.where((roughness < 0.3)[..., None], add, 0.0)
+
+    # directional light (SH/Raytracing.hlsl:93-98)
+    li = scene.dir_light_strength
+    dir_add = _brdf.radiance(jnp.broadcast_to(li, d_w.shape),
+                             jnp.broadcast_to(scene.dir_light_dir, d_w.shape),
+                             wo, n_w, albedo, roughness, metallic, k)
+    diffuse = diffuse + jnp.where(shadow_dir_hit[..., None], 0.0, dir_add)
+
+    # point lights (SH/Raytracing.hlsl:100-120); the count is static
+    for pi in range(scene.num_point):
+        delta = scene.point_pos[pi] - shadow_origin
+        dist = jnp.linalg.norm(delta, axis=-1)
+        inten = _lights.point_light_intensity(
+            scene.point_intensity[pi], dist,
+            scene.point_att_l[pi], scene.point_att_e[pi])
+        li = scene.point_color[pi][:3] * inten[..., None]
+        sdir = delta / dist[..., None]
+        sh = trace_shadow(scene, shadow_origin, sdir, dist,
+                          depth + 1, mode.interp)
+        add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
+                             metallic, k)
+        lit = (inten > 0.005) & ~sh
+        diffuse = diffuse + jnp.where(lit[..., None], add, 0.0)
+
+    # spot lights (SH/Raytracing.hlsl:122-139) — color indexed correctly
+    # (the reference's [pi] indexing bug is intentionally not reproduced)
+    for si in range(scene.num_spot):
+        delta = scene.spot_pos[si] - shadow_origin
+        dist = jnp.linalg.norm(delta, axis=-1)
+        inten = _lights.spot_light_intensity(
+            shadow_origin, dist, scene.spot_pos[si], scene.spot_fwd[si],
+            scene.spot_intensity[si], scene.spot_att_l[si],
+            scene.spot_att_e[si], scene.spot_cos_angle[si],
+            scene.spot_cos_falloff[si])
+        li = scene.spot_color[si][:3] * inten[..., None]
+        sdir = delta / dist[..., None]
+        sh = trace_shadow(scene, shadow_origin, sdir, dist,
+                          depth + 1, mode.interp)
+        add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
+                             metallic, k)
+        lit = (inten > 0.01) & ~sh
+        diffuse = diffuse + jnp.where(lit[..., None], add, 0.0)
+
+    return diffuse
+
+
+def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
+                      hit: MarchHit, mode: RenderMode):
+    """``Raytracing_Unlit.hlsl`` closest hit: tinted albedo only."""
+    pr = _per_ray_instance(scene, inst)
+    vol_id = pr["vol"]
+    tint = scene.tint[vol_id][..., :3]
+    if scene.use_voxel_colors:
+        return _voxel_color_sample(scene, pr, hit, o_w, d_w, t)
+    if mode.textured:
+        hit_pos = o_w + t[..., None] * d_w
+        obj_pos = vq.rotate(vq.conjugate(pr["rot"]),
+                            (hit_pos - pr["pos"]) / pr["scale"])
+        return tint * _tex.tri_sample(scene.textures, scene.tex_sizes,
+                                      scene.albedo_tex[vol_id],
+                                      scene.tex_scale[vol_id], obj_pos, n_obj)
+    return jnp.broadcast_to(tint, d_w.shape)
+
+
+def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode):
+    """One radiance dispatch level; returns linear rgb [R,3].
+
+    Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
+    a static Python unroll over depth (cap 3).
+    """
+    r = o_w.shape[0]
+    if depth >= MAX_RAY_RECURSION_DEPTH:
+        return jnp.zeros((r, 3), jnp.float32)
+
+    hit, inst = march_scene(scene, o_w, d_w,
+                            jnp.full(r, RADIANCE_TMAX), mode.interp)
+    t, n_obj, unlit_attr = resolve_scene(scene, o_w, d_w, hit, inst)
+
+    miss_rgb = _tex.sample_env(scene.env, d_w)
+
+    if mode.lit:
+        shaded = _shade_lit(scene, o_w, d_w, t, n_obj, inst, hit, depth, mode)
+    else:
+        shaded = _shade_unlit_mode(scene, o_w, d_w, t, n_obj, inst, hit, mode)
+
+    # attr.unlit lanes show the raw (object-space) attribute normal
+    shaded = jnp.where(unlit_attr[..., None], n_obj, shaded)
+    return jnp.where(hit.hit[..., None], shaded, miss_rgb)
+
+
+def tonemap(rgb):
+    """Raygen post-process: Reinhard c/(c+1) then gamma 1/2.2
+    (``SH/Raytracing.hlsl:34-38``), followed by the R8G8B8A8_UNORM
+    render-target conversion (NaN -> 0, clamp to [0,1]) the reference's
+    swapchain applies.  Negative radiance (the BRDF's unclamped n.wi) feeds
+    pow with a negative base exactly as in HLSL; the UNORM conversion is
+    what makes those pixels black on screen."""
+    c = rgb / (rgb + 1.0)
+    out = jnp.power(c, 1.0 / 2.2)
+    return jnp.clip(jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0),
+                    0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "mode"))
+def render_image(scene: GPUScene, width: int, height: int,
+                 mode: RenderMode = RenderMode()):
+    """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32."""
+    from vrt.render.camera import camera_rays
+
+    o, d = camera_rays(scene.cam_pos, scene.cam_rot, scene.cam_fov,
+                       width, height)
+    rgb = trace_radiance(scene, o, d, 0, mode)
+    img = tonemap(rgb).reshape(height, width, 3)
+    return jnp.concatenate(
+        [img, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
