@@ -1,0 +1,185 @@
+"""Image IO: PNG/PPM writers, simple PNG reader, DDS cubemap loader.
+
+Replaces the reference's WIC/DirectXTex texture loading
+(``VR/Renderer/Private/TextureFactory.cpp:29-147``) with dependency-free
+codecs: PNG (zlib, filter 0/1/2/3/4 on read, filter 0 on write), binary PPM,
+and DDS (uncompressed RGBA8 + DXT1/BC1, the formats the reference's skybox
+pipeline produces).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: [H,W,3|4] uint8 or float in [0,1]."""
+    if img.dtype != np.uint8:
+        img = (np.clip(np.nan_to_num(img, nan=0.0), 0.0, 1.0)
+               * 255.0 + 0.5).astype(np.uint8)
+    h, w = img.shape[:2]
+    channels = img.shape[2] if img.ndim == 3 else 1
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c))
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                           0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader: 8-bit gray/RGB/RGBA, non-interlaced."""
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = 0
+    channels = 3
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            assert depth == 8 and interlace == 0, "unsupported PNG"
+            channels = {0: 1, 2: 3, 6: 4, 4: 2}[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        line = np.frombuffer(raw[off + 1:off + 1 + stride],
+                             np.uint8).astype(np.int32)
+        off += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad filter {f}")
+                cur[i] = (line[i] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------------------
+# PPM
+# ---------------------------------------------------------------------------
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    if img.dtype != np.uint8:
+        img = (np.clip(np.nan_to_num(img, nan=0.0), 0.0, 1.0)
+               * 255.0 + 0.5).astype(np.uint8)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(np.ascontiguousarray(img[..., :3]).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# DDS (cubemaps for the skybox path)
+# ---------------------------------------------------------------------------
+
+_DDSCAPS2_CUBEMAP = 0x200
+_FOURCC_DXT1 = b"DXT1"
+
+
+def _decode_dxt1(data: bytes, w: int, h: int) -> np.ndarray:
+    out = np.zeros((h, w, 3), np.uint8)
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    pos = 0
+    for by in range(bh):
+        for bx in range(bw):
+            c0, c1, bits = struct.unpack_from("<HHI", data, pos)
+            pos += 8
+            r0, g0, b0 = ((c0 >> 11) * 255 // 31, ((c0 >> 5) & 63) * 255 // 63,
+                          (c0 & 31) * 255 // 31)
+            r1, g1, b1 = ((c1 >> 11) * 255 // 31, ((c1 >> 5) & 63) * 255 // 63,
+                          (c1 & 31) * 255 // 31)
+            pal = np.zeros((4, 3), np.int32)
+            pal[0] = (r0, g0, b0)
+            pal[1] = (r1, g1, b1)
+            if c0 > c1:
+                pal[2] = (2 * pal[0] + pal[1]) // 3
+                pal[3] = (pal[0] + 2 * pal[1]) // 3
+            else:
+                pal[2] = (pal[0] + pal[1]) // 2
+                pal[3] = 0
+            for py in range(4):
+                for px in range(4):
+                    y, x = by * 4 + py, bx * 4 + px
+                    if y < h and x < w:
+                        idx = (bits >> (2 * (py * 4 + px))) & 3
+                        out[y, x] = pal[idx]
+    return out
+
+
+def read_dds_cubemap(path: str) -> np.ndarray:
+    """-> float32 [6,E,E,3] in face order +X,-X,+Y,-Y,+Z,-Z."""
+    data = open(path, "rb").read()
+    assert data[:4] == b"DDS ", "not a DDS file"
+    (hdr_size, flags, h, w) = struct.unpack_from("<IIII", data, 4)
+    pf_flags, fourcc = struct.unpack_from("<II", data, 80)
+    fourcc = data[84:88]
+    caps2 = struct.unpack_from("<I", data, 112)[0]
+    assert caps2 & _DDSCAPS2_CUBEMAP, "DDS is not a cubemap"
+    mip_count = max(1, struct.unpack_from("<I", data, 28)[0])
+    pos = 4 + hdr_size
+    faces = []
+    for _ in range(6):
+        fw, fh = w, h
+        face = None
+        for mip in range(mip_count):
+            if fourcc == _FOURCC_DXT1:
+                size = max(1, (fw + 3) // 4) * max(1, (fh + 3) // 4) * 8
+                if mip == 0:
+                    face = _decode_dxt1(data[pos:pos + size], fw, fh)
+            else:  # uncompressed 32-bit
+                size = fw * fh * 4
+                if mip == 0:
+                    arr = np.frombuffer(data[pos:pos + size],
+                                        np.uint8).reshape(fh, fw, 4)
+                    face = arr[..., [2, 1, 0]]  # BGRA -> RGB
+            pos += size
+            fw, fh = max(1, fw // 2), max(1, fh // 2)
+        faces.append(face)
+    return np.stack(faces).astype(np.float32) / 255.0

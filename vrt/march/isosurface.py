@@ -192,7 +192,10 @@ def central_difference_normal(fetch, cell, p):
     gy = trilinear_density(fetch, cell + ey, p) - trilinear_density(fetch, cell - ey, p)
     gz = trilinear_density(fetch, cell + ez, p) - trilinear_density(fetch, cell - ez, p)
     g = jnp.stack([gx, gy, gz], axis=-1)
-    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    unit = g / norm
-    bad = ~jnp.all(jnp.isfinite(unit), axis=-1, keepdims=True)
-    return jnp.where(bad, 0.0, jnp.where(jnp.isfinite(unit), unit, 0.0))
+    # gradient-safe normalize: the reference maps NaN results to zero
+    # (Voxel.hlsli:794-799); a zero gradient vector normalizes to NaN in
+    # HLSL and therefore also maps to zero.
+    n2 = jnp.sum(g * g, axis=-1, keepdims=True)
+    good = (n2 > 0) & jnp.isfinite(n2)
+    unit = g / jnp.sqrt(jnp.where(good, n2, 1.0))
+    return jnp.where(good, unit, 0.0)

@@ -159,7 +159,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
     fwd_exit, _ = _exit_with_axis(o, d, node_pos0, node_size0)
     cell_exit0 = jnp.where(pos_branch, t_enter_b, -fwd_exit + 0.01)
 
-    result = MarchHit.none(r)
+    result = MarchHit.none_like(o)
     active = ok
 
     entry_norm = _entry_face_normal(o, d, t_enter_b, ext)

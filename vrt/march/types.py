@@ -84,6 +84,23 @@ class MarchHit:
                    t_out=jnp.zeros(r, jnp.float32),
                    face_normal=jnp.zeros((r, 3), jnp.float32))
 
+    @classmethod
+    def none_like(cls, o) -> "MarchHit":
+        """No-hit result derived arithmetically from the ray origins so every
+        field inherits their device-varying type — required for while_loop
+        carries inside ``shard_map`` (vma consistency)."""
+        zf = o[:, 0] * 0.0
+        zi = zf.astype(jnp.int32)
+        zf3 = o * 0.0
+        zi3 = zf3.astype(jnp.int32)
+        return cls(hit=zi != 0,
+                   t=zf + np.inf,
+                   kind=zi,
+                   cell=zi3,
+                   t_in=zf,
+                   t_out=zf,
+                   face_normal=zf3)
+
     def select(self, mask, other: "MarchHit") -> "MarchHit":
         """Lanewise: self where mask else other."""
         def sel(a, b):

@@ -1,0 +1,264 @@
+// vrt native kernels: mesh voxelization + traversal-accel build.
+//
+// TPU-native equivalents of the reference's C++ host-side hot loops:
+//  - the Voxelizer's per-triangle 7-region distance voxelization
+//    (VOX/Private/VolumeConverter.cpp:161-252, 703-781), OpenMP over
+//    triangles with lock-free atomic float-min voxel updates,
+//  - the collapsed-octree skip-level build that replaces the pointer
+//    octree (VR/Voxel/Private/Octree.cpp:201-262 collapse semantics),
+//  - the .vox archive voxel-buffer encode/decode (the {u8 material,
+//    3 pad, f32 density} layout of VVoxel with x-major/z/y flat order).
+//
+// Exposed as extern "C" for ctypes (vrt/native/__init__.py).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+    double x, y, z;
+    Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+    Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+    Vec3 operator*(double s) const { return {x * s, y * s, z * s}; }
+    double dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+    Vec3 cross(const Vec3& o) const {
+        return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+    }
+    double length() const { return std::sqrt(dot(*this)); }
+    Vec3 normalized() const {
+        double l = length();
+        return l > 0 ? Vec3{x / l, y / l, z / l} : Vec3{0, 0, 0};
+    }
+};
+
+// lock-free atomic float min (positive/negative safe via CAS on bits)
+inline void atomic_min_float(std::atomic<uint32_t>* slot, float value) {
+    uint32_t cur = slot->load(std::memory_order_relaxed);
+    for (;;) {
+        float curf;
+        std::memcpy(&curf, &cur, 4);
+        if (value >= curf) return;
+        uint32_t next;
+        std::memcpy(&next, &value, 4);
+        if (slot->compare_exchange_weak(cur, next,
+                                        std::memory_order_relaxed)) {
+            return;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// sdf_out: float[n^3] (x-major [x][y][z] i.e. idx = (x*n + y)*n + z),
+// preinitialized by the caller is NOT required: filled with 2*extends.
+// mat_out: uint8[n^3] zeroed here.
+void vrt_voxelize(const double* verts, int64_t n_verts,
+                  const int64_t* indices, int64_t n_idx,
+                  int resolution, double extends,
+                  float* sdf_out, uint8_t* mat_out) {
+    const int64_t n = (int64_t(1) << resolution) + 1;
+    const int64_t total = n * n * n;
+    const double h = 2.0 * extends / double(n - 1);
+    const double origin = -extends;
+    const double threshold = h * std::sqrt(3.0);
+    const float fill = float(extends * 2.0);
+
+    auto* slots = reinterpret_cast<std::atomic<uint32_t>*>(sdf_out);
+    uint32_t fill_bits;
+    std::memcpy(&fill_bits, &fill, 4);
+#pragma omp parallel for
+    for (int64_t i = 0; i < total; i++) {
+        slots[i].store(fill_bits, std::memory_order_relaxed);
+        mat_out[i] = 0;
+    }
+
+    const int64_t n_tris = n_idx / 3;
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t t = 0; t < n_tris; t++) {
+        const int64_t* tri = indices + t * 3;
+        Vec3 v1{verts[tri[0] * 3], verts[tri[0] * 3 + 1], verts[tri[0] * 3 + 2]};
+        Vec3 v2{verts[tri[1] * 3], verts[tri[1] * 3 + 1], verts[tri[1] * 3 + 2]};
+        Vec3 v3{verts[tri[2] * 3], verts[tri[2] * 3 + 1], verts[tri[2] * 3 + 2]};
+
+        // region frames (CalculateTriangleRegionVectors)
+        Vec3 a_n = (v2 - v1).cross(v3 - v1).normalized();
+        Vec3 b = v3 - v1; double b_len = b.length(); Vec3 b_n = b.normalized();
+        Vec3 c = v2 - v3; double c_len = c.length(); Vec3 c_n = c.normalized();
+        Vec3 d = v1 - v2; double d_len = d.length(); Vec3 d_n = d.normalized();
+        Vec3 g_n = d_n.cross(a_n).normalized();
+        Vec3 e_n = b_n.cross(a_n).normalized();
+        Vec3 f_n = c_n.cross(a_n).normalized();
+
+        // dilated AABB -> voxel index block (round +- 1, clamped)
+        double lo[3] = {std::min({v1.x, v2.x, v3.x}) - threshold,
+                        std::min({v1.y, v2.y, v3.y}) - threshold,
+                        std::min({v1.z, v2.z, v3.z}) - threshold};
+        double hi[3] = {std::max({v1.x, v2.x, v3.x}) + threshold,
+                        std::max({v1.y, v2.y, v3.y}) + threshold,
+                        std::max({v1.z, v2.z, v3.z}) + threshold};
+        int64_t ilo[3], ihi[3];
+        for (int a = 0; a < 3; a++) {
+            ilo[a] = std::max<int64_t>(
+                int64_t(std::llround((lo[a] - origin) / h)) - 1, 0);
+            ihi[a] = std::min<int64_t>(
+                int64_t(std::llround((hi[a] - origin) / h)) + 1, n - 1);
+        }
+
+        for (int64_t x = ilo[0]; x <= ihi[0]; x++) {
+            for (int64_t y = ilo[1]; y <= ihi[1]; y++) {
+                for (int64_t z = ilo[2]; z <= ihi[2]; z++) {
+                    Vec3 p{origin + x * h, origin + y * h, origin + z * h};
+                    Vec3 r1 = p - v1, r2 = p - v2, r3 = p - v3;
+                    double A = r1.dot(a_n);
+                    double B = r1.dot(b_n);
+                    double C = r3.dot(c_n);
+                    double D = r2.dot(d_n);
+                    double E = r1.dot(e_n);
+                    double F = r3.dot(f_n);
+                    double G = r2.dot(g_n);
+
+                    double dist;
+                    if (E >= 0 && F >= 0 && G >= 0) {
+                        dist = std::abs(A);                      // R1 face
+                    } else if (D >= d_len && B <= 0) {
+                        dist = r1.length();                      // R5 vert 1
+                    } else if (B >= b_len && C <= 0) {
+                        dist = r3.length();                      // R7 vert 3
+                    } else if (C >= c_len && D <= 0) {
+                        dist = r2.length();                      // R6 vert 2
+                    } else if (G <= 0 && D >= 0 && D <= d_len) {
+                        dist = std::sqrt(A * A + G * G);         // R2 edge
+                    } else if (E <= 0 && B >= 0 && B <= b_len) {
+                        dist = std::sqrt(A * A + E * E);         // R4 edge
+                    } else if (F <= 0 && C >= 0 && C <= c_len) {
+                        dist = std::sqrt(A * A + F * F);         // R3 edge
+                    } else {
+                        continue;  // unreachable per the reference assert
+                    }
+                    float density = float(-(1.0 - dist / threshold) + 0.5);
+                    int64_t idx = (x * n + y) * n + z;
+                    atomic_min_float(&slots[idx], density);
+                }
+            }
+        }
+    }
+
+    // material = 1 where final density <= 0 (single pass after the min-fold;
+    // the reference updates it alongside each min write, same end state)
+#pragma omp parallel for
+    for (int64_t i = 0; i < total; i++) {
+        mat_out[i] = sdf_out[i] <= 0.0f ? 1 : 0;
+    }
+}
+
+// Packed skip-level accel: accel[c] = (level << 1) | has_surface, where
+// level is the largest L with the aligned 2^L block around c surface-free.
+// sdf: float[n^3] x-major; accel_out: int32[(n-1)^3].
+void vrt_build_accel(const float* sdf, int64_t n, int resolution,
+                     int32_t* accel_out) {
+    const int64_t c = n - 1;
+    auto sgn = [](float v) -> int { return (v > 0) - (v < 0); };
+    auto sdf_at = [&](int64_t x, int64_t y, int64_t z) {
+        return sdf[(x * n + y) * n + z];
+    };
+
+#pragma omp parallel for
+    for (int64_t x = 0; x < c; x++) {
+        for (int64_t y = 0; y < c; y++) {
+            for (int64_t z = 0; z < c; z++) {
+                int s0 = sgn(sdf_at(x, y, z));
+                bool has = false;
+                for (int dx = 0; dx < 2 && !has; dx++)
+                    for (int dy = 0; dy < 2 && !has; dy++)
+                        for (int dz = 0; dz < 2 && !has; dz++)
+                            has |= sgn(sdf_at(x + dx, y + dy, z + dz)) != s0;
+                accel_out[(x * c + y) * c + z] = has ? 1 : 0;
+            }
+        }
+    }
+
+    // hierarchical 2x2x2 occupancy max-pools; free blocks raise the level
+    int64_t side = c;
+    std::vector<uint8_t> occ(c * c * c);
+#pragma omp parallel for
+    for (int64_t i = 0; i < c * c * c; i++) occ[i] = accel_out[i] & 1;
+
+    std::vector<uint8_t> cur = occ;
+    for (int lvl = 1; lvl <= resolution; lvl++) {
+        int64_t next_side = side / 2;
+        if (next_side < 1) break;
+        std::vector<uint8_t> pooled(next_side * next_side * next_side);
+#pragma omp parallel for
+        for (int64_t x = 0; x < next_side; x++) {
+            for (int64_t y = 0; y < next_side; y++) {
+                for (int64_t z = 0; z < next_side; z++) {
+                    uint8_t m = 0;
+                    for (int dx = 0; dx < 2; dx++)
+                        for (int dy = 0; dy < 2; dy++)
+                            for (int dz = 0; dz < 2; dz++)
+                                m = std::max(m, cur[((x * 2 + dx) * side
+                                    + y * 2 + dy) * side + z * 2 + dz]);
+                    pooled[(x * next_side + y) * next_side + z] = m;
+                }
+            }
+        }
+#pragma omp parallel for
+        for (int64_t x = 0; x < c; x++) {
+            for (int64_t y = 0; y < c; y++) {
+                for (int64_t z = 0; z < c; z++) {
+                    int64_t bx = x >> lvl, by = y >> lvl, bz = z >> lvl;
+                    if (!pooled[(bx * next_side + by) * next_side + bz]) {
+                        int64_t i = (x * c + y) * c + z;
+                        accel_out[i] = (lvl << 1) | (accel_out[i] & 1);
+                    }
+                }
+            }
+        }
+        cur.swap(pooled);
+        side = next_side;
+    }
+}
+
+// .vox voxel-buffer codec: {u8 material, 3 pad, f32 density} records in the
+// reference's x-major/z/y flat order <-> separate [x][y][z] arrays.
+void vrt_encode_voxels(const float* sdf, const uint8_t* mats, int64_t n,
+                       uint8_t* out /* n^3 * 8 bytes */) {
+#pragma omp parallel for
+    for (int64_t x = 0; x < n; x++) {
+        for (int64_t z = 0; z < n; z++) {
+            for (int64_t y = 0; y < n; y++) {
+                int64_t flat = x * n * n + z * n + y;   // Index3DTo1D
+                int64_t src = (x * n + y) * n + z;
+                uint8_t* rec = out + flat * 8;
+                rec[0] = mats[src];
+                rec[1] = rec[2] = rec[3] = 0;
+                std::memcpy(rec + 4, &sdf[src], 4);
+            }
+        }
+    }
+}
+
+void vrt_decode_voxels(const uint8_t* in, int64_t n,
+                       float* sdf, uint8_t* mats) {
+#pragma omp parallel for
+    for (int64_t x = 0; x < n; x++) {
+        for (int64_t z = 0; z < n; z++) {
+            for (int64_t y = 0; y < n; y++) {
+                int64_t flat = x * n * n + z * n + y;
+                int64_t dst = (x * n + y) * n + z;
+                const uint8_t* rec = in + flat * 8;
+                mats[dst] = rec[0];
+                std::memcpy(&sdf[dst], rec + 4, 4);
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -43,6 +43,21 @@ RADIANCE_TMAX = 10000.0      # SH/Include/Ray.hlsli:72
 DIR_SHADOW_TMAX = 5000.0     # SH/Raytracing.hlsl:59
 
 
+def _safe_unit(v):
+    """Gradient-safe normalize: zero vectors map to zero (not NaN) and the
+    backward pass stays finite.  Deviates from HLSL normalize only on
+    exactly-zero vectors (where the reference produces NaN pixels that its
+    UNORM target would blacken anyway)."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.where(n2 > 0, n2, 1.0))
+    return jnp.where(n2 > 0, v / n, 0.0)
+
+
+def _safe_div(num, den):
+    ok = den != 0
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+
 def _world_to_object(pos, rot, scale, o_w, d_w):
     """Instance transform is rotation*scale*translation in row-vector
     convention (``RDXLevelObject.cpp:44-50``): world = diag(s)*R(v) + p.
@@ -65,9 +80,8 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool):
     Returns (hit: MarchHit (object-space brackets of the winning instance),
     inst: i32 [R] winning instance id, -1 when none).
     """
-    r = o_w.shape[0]
-    best = MarchHit.none(r)
-    best_inst = jnp.full(r, -1, jnp.int32)
+    best = MarchHit.none_like(o_w)
+    best_inst = o_w[:, 0].astype(jnp.int32) * 0 - 1
 
     def step(carry, i):
         best, best_inst = carry
@@ -193,7 +207,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
     # contribution would be identically zero (Radiance with Li = 0).
     if scene.any_reflective and depth + 1 < MAX_RAY_RECURSION_DEPTH:
         refl_dir = d_w - 2.0 * jnp.sum(d_w * n_w, -1, keepdims=True) * n_w
-        refl_dir = refl_dir / jnp.linalg.norm(refl_dir, axis=-1, keepdims=True)
+        refl_dir = _safe_unit(refl_dir)
         refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
                                   depth + 1, mode)
         refl_rgb = jnp.maximum(
@@ -217,7 +231,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
             scene.point_intensity[pi], dist,
             scene.point_att_l[pi], scene.point_att_e[pi])
         li = scene.point_color[pi][:3] * inten[..., None]
-        sdir = delta / dist[..., None]
+        sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
                           depth + 1, mode.interp)
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
@@ -236,7 +250,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
             scene.spot_att_e[si], scene.spot_cos_angle[si],
             scene.spot_cos_falloff[si])
         li = scene.spot_color[si][:3] * inten[..., None]
-        sdir = delta / dist[..., None]
+        sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
                           depth + 1, mode.interp)
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
@@ -278,6 +292,13 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode):
     hit, inst = march_scene(scene, o_w, d_w,
                             jnp.full(r, RADIANCE_TMAX), mode.interp)
     t, n_obj, unlit_attr = resolve_scene(scene, o_w, d_w, hit, inst)
+
+    # Sanitize miss lanes before shading: their values are discarded by the
+    # final select, but infinities reaching the shading math would poison
+    # the backward pass (0-cotangent * inf = NaN).
+    t = jnp.where(hit.hit, t, 0.0)
+    n_obj = jnp.where(hit.hit[..., None], n_obj,
+                      jnp.asarray([0.0, 0.0, 1.0]))
 
     miss_rgb = _tex.sample_env(scene.env, d_w)
 

@@ -45,9 +45,12 @@ def fresnel_schlick(f0, wo, h):
 
 
 def brdf(wi, wo, n, albedo, roughness, metallic, k):
-    """Lighting.hlsli:80-96: lambert*kd + cook*F."""
+    """Lighting.hlsli:80-96: lambert*kd + cook*F.  The half-vector
+    normalize is gradient-safe: wi == -wo maps h to zero instead of NaN."""
     h = wi + wo
-    h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+    n2 = jnp.sum(h * h, axis=-1, keepdims=True)
+    ok = n2 > 0
+    h = jnp.where(ok, h / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
     f0 = F0_DIEL * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
     d = distribution_ggx(n, h, roughness)
     f = fresnel_schlick(f0, wo, h)

@@ -61,7 +61,9 @@ def _triplanar_uvs(obj_pos, scale):
 
 def _blend_weights(normal):
     b = jnp.abs(normal)
-    return b / jnp.sum(b, axis=-1, keepdims=True)
+    s = jnp.sum(b, axis=-1, keepdims=True)
+    ok = s > 0
+    return jnp.where(ok, b / jnp.where(ok, s, 1.0), 0.0)
 
 
 def tri_sample(textures, sizes, tex_id, scale, obj_pos, normal):
@@ -89,7 +91,9 @@ def tri_sample_normal(textures, sizes, tex_id, scale, obj_pos, normal):
     tz = sample_bilinear_wrap(textures, sizes, tex_id, uv_z) * 2.0 - 1.0
     b = _blend_weights(normal)
     t = tx * b[..., 0:1] + ty * b[..., 1:2] + tz * b[..., 2:3]
-    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    n2 = jnp.sum(t * t, axis=-1, keepdims=True)
+    ok = n2 > 0
+    t = jnp.where(ok, t / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
     t = t[..., jnp.array([2, 0, 1])]  # .zxy
     q = _quat_from_x(normal)
     return vq.rotate(q, t)
