@@ -47,16 +47,17 @@ def main():
         rgb = trace_radiance(scene, o, d, 0, mode)
         return tonemap(rgb)
 
-    # warmup + compile
+    # warmup + compile.  NOTE: under the axon runtime block_until_ready can
+    # return before execution completes; a scalar readback is the reliable
+    # queue drain, so every timing section ends with one.
     out = render(scene)
-    out.block_until_ready()
-    _ = float(jnp.sum(out))  # force full materialization through the runtime
+    checksum = float(jnp.sum(out))
+    assert np.isfinite(checksum), checksum
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = render(scene)
-    out.block_until_ready()
     _ = float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / iters
 
