@@ -259,3 +259,12 @@ class TestSceneGraphAndEngine:
         assert np.isfinite(img).all()
         sky = img[0, 0, :3]
         assert (np.abs(img[..., :3] - sky).sum(-1) > 0.05).sum() > 10
+
+
+class TestChunkedRender:
+    def test_chunked_matches_unchunked(self):
+        scene = _simple_scene()
+        img1 = np.asarray(render_image(scene, 19, 17, RenderMode()))
+        img2 = np.asarray(render_image(scene, 19, 17, RenderMode(),
+                                       chunk_size=64))
+        np.testing.assert_allclose(img1, img2, atol=1e-6)

@@ -47,17 +47,25 @@ def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
 
 
 def rebuild_accel(scene: GPUScene) -> GPUScene:
-    """Rebuild the skip-level field from the (possibly updated) SDF.
+    """Rebuild the traversal state derived from the (possibly updated) SDF:
+    the skip-level field and, when present, the corner-packed layout.
 
     Works under jit; assumes all volumes share the padded resolution (the
     single-resolution fit configuration).
     """
+    from vrt.march.types import pack_cell_corners
+
     sdf = scene.volumes.sdf
     n = sdf.shape[-1]
     resolution = (n - 1).bit_length() - 1
     accel = jax.vmap(lambda s: build_accel(s, resolution))(sdf)
+    corners = scene.volumes.corners
+    if corners is not None:
+        corners = jax.lax.stop_gradient(
+            jax.vmap(pack_cell_corners)(sdf))
     return dataclasses.replace(
-        scene, volumes=dataclasses.replace(scene.volumes, accel=accel))
+        scene, volumes=dataclasses.replace(scene.volumes, accel=accel,
+                                           corners=corners))
 
 
 def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,

@@ -116,6 +116,24 @@ def _pos_to_cell(vol: DeviceVolume, p):
     return jnp.floor((p + vol.extends) / vol.cell_size).astype(jnp.int32)
 
 
+def _make_corner_fetch(vol: DeviceVolume, fetch):
+    """Per-cell 8-corner fetch: one packed contiguous gather when the
+    corner-packed layout is present, else 8 scattered voxel gathers.
+    Out-of-range cells return zeros (their values are always masked)."""
+    if vol.corners is None:
+        return lambda cell: iso.gather_corners(fetch, cell)
+    cc = vol.corners.shape[0]
+    flat = vol.corners.reshape(-1, 8)
+
+    def corner_fetch(cell):
+        valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
+        ic = jnp.clip(cell, 0, cc - 1)
+        idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
+        return jnp.where(valid[..., None], flat[idx], 0.0)
+
+    return corner_fetch
+
+
 def _entry_face_normal(o, d, t_enter, ext):
     """Box-face normal at entry (``SH/Raytracing.hlsl:198-220``): evaluated
     at pos(t_enter - 0.1); +1 on axes beyond +ext, -1 beyond -ext, else 0;
@@ -145,6 +163,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
     r = o.shape[0]
     ext = vol.extends
     fetch = iso.make_fetch(vol.sdf, vol.n)
+    corner_fetch = _make_corner_fetch(vol, fetch)
 
     ok, t_enter, t_exit = ray_aabb(o, d, -ext, ext, t_max)
 
@@ -165,7 +184,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
     entry_norm = _entry_face_normal(o, d, t_enter_b, ext)
 
     if interp:
-        corners0 = iso.gather_corners(fetch, cell0)
+        corners0 = corner_fetch(cell0)
         solid0 = jnp.all(corners0 < 0.0, axis=-1)
         rep = active & valid0 & solid0
         acc = rep & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
@@ -212,7 +231,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
         next_cell = _pos_to_cell(vol, o + d * new_exit[..., None])
 
         if interp:
-            v8 = iso.gather_corners(fetch, cell)
+            v8 = corner_fetch(cell)
             p_in = o + d * cell_enter[..., None]
             p_out = o + d * new_exit[..., None]
             cell_base = cell.astype(jnp.float32) * vol.cell_size - ext

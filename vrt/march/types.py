@@ -14,10 +14,23 @@ from vrt.volume.volume import VoxelVolume
 # Hit kinds, mirroring the distinct ReportHit sites of the intersection
 # shaders (SH/Raytracing.hlsl:147-336, SH/Raytracing_Cube.hlsl).
 KIND_NONE = 0        # ray left the volume without a hit
+
 KIND_SURFACE = 1     # isosurface root inside a cell (interp modes)
 KIND_SOLID_ENTRY = 2 # entry cell fully solid -> hit at volume entry face
 KIND_EXHAUSTED = 3   # 255-iteration cap -> reference reports t=10, unlit red
 KIND_CUBE = 4        # cube mode: entered a voxel with density <= 0
+
+
+def pack_cell_corners(sdf) -> np.ndarray:
+    """[N,N,N] SDF -> [N-1,N-1,N-1,8] per-cell corner values in the
+    reference corner order (VOXEL_COORDS).  Works on numpy and traced
+    arrays (stack of static slices) so fitting can re-pack in-jit."""
+    from vrt.march.isosurface import CORNERS
+
+    xp = jnp if isinstance(sdf, jax.Array) else np
+    c = sdf.shape[0] - 1
+    return xp.stack([sdf[dx:dx + c, dy:dy + c, dz:dz + c]
+                     for dx, dy, dz in CORNERS], axis=-1)
 
 
 @jax.tree_util.register_dataclass
@@ -37,10 +50,15 @@ class DeviceVolume:
     n: jax.Array          # i32 [] actual voxels per axis
     cell_size: jax.Array  # f32 []
     extends: jax.Array    # f32 []
+    # Corner-packed SDF: corners[c] = the 8 cell-corner values of cell c,
+    # so the march's per-step corner fetch is ONE gather of 8 contiguous
+    # floats instead of 8 scattered gathers (8x fewer gather descriptors,
+    # HBM-burst friendly).  8x memory; None-able for memory-tight fitting.
+    corners: jax.Array | None = None  # f32 [N-1,N-1,N-1,8]
 
     @classmethod
-    def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None
-                    ) -> "DeviceVolume":
+    def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None,
+                    pack_corners: bool = True) -> "DeviceVolume":
         """Host-side (numpy) assembly — a single device transfer per array,
         no eager device ops (the accel build runs vectorized on the host)."""
         n = vol.n_voxels
@@ -49,16 +67,21 @@ class DeviceVolume:
         sdf = np.asarray(vol.sdf, np.float32)
         mats = np.asarray(vol.voxel_materials, np.int32)
         accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
+        corners = pack_cell_corners(sdf) if pack_corners else None
         if pad_n > n:
             p = pad_n - n
             sdf = np.pad(sdf, ((0, p),) * 3)
             mats = np.pad(mats, ((0, p),) * 3)
             accel = np.pad(accel, ((0, p),) * 3)
+            if corners is not None:
+                corners = np.pad(corners, ((0, p),) * 3 + ((0, 0),))
         return cls(sdf=jnp.asarray(sdf), materials=jnp.asarray(mats),
                    accel=jnp.asarray(accel),
                    n=jnp.asarray(n, jnp.int32),
                    cell_size=jnp.asarray(vol.cell_size, jnp.float32),
-                   extends=jnp.asarray(vol.extends, jnp.float32))
+                   extends=jnp.asarray(vol.extends, jnp.float32),
+                   corners=(None if corners is None
+                            else jnp.asarray(corners)))
 
 
 @jax.tree_util.register_dataclass

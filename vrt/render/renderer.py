@@ -325,15 +325,35 @@ def tonemap(rgb):
                     0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "mode"))
+@partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size"))
 def render_image(scene: GPUScene, width: int, height: int,
-                 mode: RenderMode = RenderMode()):
-    """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32."""
+                 mode: RenderMode = RenderMode(),
+                 chunk_size: int | None = None):
+    """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32.
+
+    ``chunk_size`` splits the pixel batch into independently-marched chunks
+    (``lax.map``): each chunk's masked while_loop runs only as many steps as
+    *its* slowest ray, so sky-dominated regions finish early instead of
+    idling behind the frame's worst ray.  None processes the frame as one
+    batch.
+    """
     from vrt.render.camera import camera_rays
 
     o, d = camera_rays(scene.cam_pos, scene.cam_rot, scene.cam_fov,
                        width, height)
-    rgb = trace_radiance(scene, o, d, 0, mode)
+    total = width * height
+    if chunk_size and total > chunk_size:
+        pad = (-total) % chunk_size
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        o = o.reshape(-1, chunk_size, 3)
+        d = d.reshape(-1, chunk_size, 3)
+        rgb = jax.lax.map(
+            lambda od: trace_radiance(scene, od[0], od[1], 0, mode), (o, d))
+        rgb = rgb.reshape(-1, 3)[:total]
+    else:
+        rgb = trace_radiance(scene, o, d, 0, mode)
     img = tonemap(rgb).reshape(height, width, 3)
     return jnp.concatenate(
         [img, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
