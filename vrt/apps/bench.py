@@ -1,0 +1,143 @@
+"""Benchmark suite CLI — BASELINE configs measured end to end.
+
+``python -m vrt.apps.bench [--configs 1 2 ...] [--out BENCH.md]``
+
+Configs (BASELINE.json):
+ 1. 64^3 sphere SDF, 256x256, lambert-ish lit        (fwd)
+ 2. 128^3 scene + skybox, 512x512                    (fwd)
+ 3. voxelized mesh 256^3-class, 1080p                (fwd)
+ 4. differentiable fit step, 256^3-class             (fwd+bwd)
+ 5. sharded-volume render over the device mesh       (scaling)
+
+Timings synchronize through a scalar readback (the axon runtime's
+block_until_ready can return early).  Each row reports ms/frame and rays/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+def _time(fn, iters=3):
+    out = fn()
+    _sync(out)  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_forward(resolution, width, height, label, results, chunk=None):
+    import jax
+
+    from __graft_entry__ import _flagship_scene
+    from vrt.render.gpuscene import RenderMode
+    from vrt.render.renderer import render_image
+
+    scene = _flagship_scene(resolution=resolution)
+    dt = _time(lambda: render_image(scene, width, height, RenderMode(),
+                                    chunk_size=chunk))
+    rays = width * height
+    results.append((label, dt * 1e3, rays / dt))
+    print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
+          file=sys.stderr, flush=True)
+
+
+def bench_fit(resolution, size, label, results):
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_scene
+    from vrt.diff.fit import make_fit_step
+    from vrt.render.gpuscene import RenderMode
+
+    scene = _flagship_scene(resolution=resolution, use_colors=True)
+    cams = [dict(position=(320.0, 0.0, 40.0),
+                 rotation=np.asarray([0.0, 0.0, 1.0, 0.0], np.float32),
+                 fov=60.0)]
+    targets = jnp.zeros((1, size * size, 3), jnp.float32)
+    params = {"sdf": scene.volumes.sdf, "voxel_colors": scene.voxel_colors}
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    step = make_fit_step(scene, cams, size, size, RenderMode(), opt)
+
+    def run():
+        nonlocal params, state
+        params, state, loss = step(params, state, targets)
+        return loss
+
+    dt = _time(run)
+    rays = size * size
+    results.append((label, dt * 1e3, rays / dt))
+    print(f"{label}: {dt*1e3:.1f} ms/step, {rays/dt/1e6:.3f} Mrays/s "
+          f"(fwd+bwd)", file=sys.stderr, flush=True)
+
+
+def bench_scaling(resolution, size, label, results):
+    """Ray-DP scaling efficiency across the available devices."""
+    import jax
+
+    from __graft_entry__ import _flagship_scene
+    from vrt.dist.mesh import make_render_mesh
+    from vrt.dist.sharding import render_image_sharded
+    from vrt.render.gpuscene import RenderMode
+    from vrt.render.renderer import render_image
+
+    scene = _flagship_scene(resolution=resolution)
+    n_dev = len(jax.devices())
+    dt1 = _time(lambda: render_image(scene, size, size, RenderMode()))
+    if n_dev > 1:
+        mesh = make_render_mesh(n_dev, 1)
+        dtn = _time(lambda: render_image_sharded(scene, size, size,
+                                                 RenderMode(), mesh))
+        eff = dt1 / (dtn * n_dev)
+    else:
+        dtn, eff = dt1, 1.0
+    results.append((label, dtn * 1e3, size * size / dtn))
+    print(f"{label}: 1 dev {dt1*1e3:.1f} ms, {n_dev} dev {dtn*1e3:.1f} ms, "
+          f"scaling efficiency {eff:.1%}", file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--chunk", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    results = []
+    if 1 in args.configs:
+        bench_forward(5, 256, 256, "config1 64^3-class 256x256 fwd",
+                      results, args.chunk)
+    if 2 in args.configs:
+        bench_forward(6, 512, 512, "config2 128^3-class 512x512 fwd",
+                      results, args.chunk)
+    if 3 in args.configs:
+        bench_forward(7, 1920, 1080, "config3 256^3-class 1080p fwd",
+                      results, args.chunk)
+    if 4 in args.configs:
+        bench_fit(5, 128, "config4 fit step 128x128 fwd+bwd", results)
+    if 5 in args.configs:
+        bench_scaling(5, 256, "config5 ray-DP scaling 256x256", results)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# vrt benchmarks\n\n")
+            f.write("| config | ms/frame | rays/s |\n|---|---|---|\n")
+            for label, ms, rps in results:
+                f.write(f"| {label} | {ms:.1f} | {rps:,.0f} |\n")
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
