@@ -268,3 +268,53 @@ class TestChunkedRender:
         img2 = np.asarray(render_image(scene, 19, 17, RenderMode(),
                                        chunk_size=64))
         np.testing.assert_allclose(img1, img2, atol=1e-6)
+
+
+class TestTextureLoading:
+    def test_material_textures_load_into_atlas(self, tmp_path):
+        from vrt.io.image import write_png
+        from vrt.render.textures import build_texture_atlas
+        from vrt.core.material import Material
+
+        checker = np.zeros((4, 4, 3), np.uint8)
+        checker[::2, ::2] = 255
+        tex_path = str(tmp_path / "check.png")
+        write_png(tex_path, checker)
+
+        mats = [Material(albedo_texture=tex_path),
+                Material(),  # defaults
+                Material(albedo_texture=tex_path,   # cached, same slot
+                         rm_texture="missing.png")]
+        atlas, sizes, ids = build_texture_atlas(mats)
+        assert atlas.shape[0] == 3  # white + flat-normal + checker
+        assert ids[0] == (2, 1, 0)
+        assert ids[1] == (0, 1, 0)
+        assert ids[2] == (2, 1, 0)  # cache hit; missing rm -> default white
+        assert tuple(sizes[2]) == (4, 4)
+
+    def test_textured_scene_renders_pattern(self, tmp_path):
+        from vrt.io.image import write_png
+        from vrt.core.material import Material
+
+        tex = np.zeros((8, 8, 3), np.uint8)
+        tex[:, :4] = (255, 0, 0)
+        tex[:, 4:] = (0, 0, 255)
+        tex_path = str(tmp_path / "stripe.png")
+        write_png(tex_path, tex)
+
+        scene = Scene()
+        vol = VoxelVolume.from_generator(
+            S.Sphere(radius=50.0), 4, 100.0,
+            material=Material(albedo=(1, 1, 1, 1),
+                              albedo_texture=tex_path,
+                              texture_scale=(40.0, 40.0)))
+        scene.spawn(VoxelObject(volume=vol))
+        scene.spawn(Camera(position=np.asarray([300.0, 0, 0], np.float32),
+                           rotation=np.asarray(
+                               vq.from_euler_degrees(0.0, 180.0, 0.0))))
+        img = np.asarray(render_image(scene.to_gpu(), 33, 33,
+                                      RenderMode(lit=False)))
+        sphere = img[10:23, 10:23, :3]
+        # the stripe texture must appear: both red- and blue-dominant pixels
+        assert (sphere[..., 0] > sphere[..., 2] + 0.2).any()
+        assert (sphere[..., 2] > sphere[..., 0] + 0.2).any()

@@ -27,6 +27,10 @@ from vrt.volume.volume import VoxelVolume
 
 
 class DemoInstance(EngineInstance):
+    """Headless port of ``RendererEngineInstance`` including the key-toggled
+    render-mode selection (keys 1/2/3 flip CubeMode / ShowTextures / Unlit,
+    ``RendererEngineInstance.cpp:78-109``) via the vrt.ui input bus."""
+
     def __init__(self, scene_path: str | None = None,
                  out_dir: str | None = None, save_every: int = 0):
         self.scene_path = scene_path
@@ -36,8 +40,37 @@ class DemoInstance(EngineInstance):
         self.sphere2: VoxelObject | None = None
         self.angle1 = 0.0
         self.angle2 = 0.0
+        self.cube_mode = False
+        self.show_textures = True
+        self.unlit = False
+        self.window = None
+        self._engine: Engine | None = None
+
+    def _apply_mode(self) -> None:
+        if self._engine is not None:
+            self._engine.set_render_mode(RenderMode(
+                interp=not self.cube_mode, textured=self.show_textures,
+                lit=not self.unlit))
+
+    def _on_key(self, key) -> None:
+        from vrt.ui import Key
+
+        if key == Key.K1:
+            self.cube_mode = not self.cube_mode
+        elif key == Key.K2:
+            self.show_textures = not self.show_textures
+        elif key == Key.K3:
+            self.unlit = not self.unlit
+        else:
+            return
+        self._apply_mode()
 
     def on_engine_initialized(self, engine: Engine) -> None:
+        from vrt.ui import new_window
+
+        self._engine = engine
+        self.window = new_window(width=engine.width, height=engine.height)
+        self.window.events.on_key_pressed.append(self._on_key)
         if self.scene_path:
             from vrt.io.voxfile import load_scene
             scene = load_scene(self.scene_path)
@@ -66,6 +99,8 @@ class DemoInstance(EngineInstance):
         engine.set_scene(scene)
 
     def on_engine_update(self, engine: Engine, dt: float) -> None:
+        if self.window is not None:
+            self.window.tick(dt)
         # orbit the spheres at 10 deg/s and 50 deg/s (:111-130)
         self.angle1 = (self.angle1 + 10.0 * dt) % 360.0
         self.angle2 = (self.angle2 + 50.0 * dt) % 360.0

@@ -140,8 +140,11 @@ class Scene:
 
     # -- device sync -------------------------------------------------------
     def to_gpu(self, pad_volumes_to: Optional[int] = None):
-        """Assemble the device scene pytree (``GPUScene``)."""
+        """Assemble the device scene pytree (``GPUScene``), loading any
+        material-referenced textures into the atlas (the DX backend's
+        path-keyed geometry texture cache, ``RDXScene.cpp:877-926``)."""
         from vrt.render.gpuscene import build_scene
+        from vrt.render.textures import build_texture_atlas
 
         vols = self.volumes
         vol_index = {id(v): i for i, v in enumerate(vols)}
@@ -151,8 +154,11 @@ class Scene:
                      for o in self.voxel_objects]
         cam = self.active_camera or Camera()
         dl = self.active_directional_light
+        atlas, sizes, tex_ids = build_texture_atlas(
+            [v.material for v in vols])
         return build_scene(
             vols, instances,
+            textures=atlas, tex_sizes=sizes, texture_ids=tex_ids,
             camera=dict(position=cam.position, rotation=cam.rotation,
                         fov=cam.fov),
             dir_light=(dict(direction=dl.direction, strength=dl.strength)
