@@ -318,3 +318,17 @@ class TestTextureLoading:
         # the stripe texture must appear: both red- and blue-dominant pixels
         assert (sphere[..., 0] > sphere[..., 2] + 0.2).any()
         assert (sphere[..., 2] > sphere[..., 0] + 0.2).any()
+
+
+class TestDebugOverlay:
+    def test_octree_bounds_drawn_red(self):
+        scene = _simple_scene()
+        img = np.asarray(render_image(scene, 49, 49,
+                                      RenderMode(debug_overlay=True)))
+        plain = np.asarray(render_image(scene, 49, 49, RenderMode()))
+        assert np.isfinite(img).all()
+        # overlay lanes show pure red (1,0,0) tonemapped
+        red = (0.5 ** (1 / 2.2))
+        red_px = (np.abs(img[..., 0] - red) < 1e-3) & (img[..., 1] < 1e-3)
+        assert red_px.sum() > 10
+        assert not np.allclose(img, plain)

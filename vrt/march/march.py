@@ -36,8 +36,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from vrt.march import isosurface as iso
-from vrt.march.types import (DeviceVolume, MarchHit, KIND_CUBE,
+from vrt.march.types import (DeviceVolume, MarchHit, KIND_CUBE, KIND_DEBUG,
                              KIND_EXHAUSTED, KIND_SOLID_ENTRY, KIND_SURFACE)
+
+LINE_THICKNESS = 0.5  # SHADER_DEBUG overlay border (Constants.hlsli)
+
+
+def _hits_node_bounds(pos, node_pos, node_size, thickness=LINE_THICKNESS):
+    """``DoesRayHitOctreeBounds`` (SH/Include/Debugging.hlsli:16-38)."""
+    outer_min = node_pos - thickness
+    outer_max = node_pos + node_size[..., None] + thickness
+    inside = jnp.all((pos >= outer_min) & (pos <= outer_max), axis=-1)
+    b = (jnp.abs(pos - node_pos) <= thickness) \
+        | (jnp.abs(pos - (node_pos + node_size[..., None])) <= thickness)
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    border = ((bx | by) & bz) | ((by | bz) & bx)
+    return inside & border
 
 MAX_ITERATIONS = 255  # SH/Raytracing.hlsl:229
 EXHAUSTED_T = 10.0    # SH/Raytracing.hlsl:331
@@ -147,9 +161,9 @@ def _entry_face_normal(o, d, t_enter, ext):
 _FACE_EYE = np.eye(3, dtype=np.float32)
 
 
-@partial(jax.jit, static_argnames=("interp",))
-def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
-                 ) -> MarchHit:
+@partial(jax.jit, static_argnames=("interp", "debug_overlay"))
+def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
+                 debug_overlay: bool = False) -> MarchHit:
     """March rays (object space) through one volume.
 
     o, d: f32 [R,3]; t_max: f32 [R] (DXR TMax / closest-so-far).
@@ -226,6 +240,20 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True
             valid = jnp.all((cell >= 0) & (cell < n), axis=-1)  # voxel-valid
 
         node_valid, has_surf, node_pos, node_size = _get_node(vol, cell)
+
+        if debug_overlay:
+            # SHADER_DEBUG: unlit red hit on octree-node borders
+            dbg = act2 & valid & _hits_node_bounds(
+                o + d * cell_enter[..., None], node_pos, node_size)
+            dacc = dbg & (cell_enter >= 0.0) & (cell_enter <= t_max)
+            res = MarchHit(
+                hit=jnp.where(dacc, True, res.hit),
+                t=jnp.where(dacc, cell_enter, res.t),
+                kind=jnp.where(dacc, KIND_DEBUG, res.kind),
+                cell=res.cell, t_in=res.t_in, t_out=res.t_out,
+                face_normal=res.face_normal)
+            act2 = act2 & ~dbg
+
         exit_t, exit_ax = _exit_with_axis(o, d, node_pos, node_size)
         new_exit = exit_t + 0.1
         next_cell = _pos_to_cell(vol, o + d * new_exit[..., None])

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 
 from vrt.march import isosurface as iso
 from vrt.march.march import _inv_dir
-from vrt.march.types import (DeviceVolume, MarchHit, KIND_EXHAUSTED,
-                             KIND_SOLID_ENTRY, KIND_SURFACE)
+from vrt.march.types import (DeviceVolume, MarchHit, KIND_DEBUG,
+                             KIND_EXHAUSTED, KIND_SOLID_ENTRY, KIND_SURFACE)
 
 
 def _slab_enter(o, d, ext):
@@ -85,9 +85,11 @@ def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit):
     t = jnp.where(kind == KIND_SURFACE, t_surface,
                   jnp.where(kind == KIND_SOLID_ENTRY, t_solid,
                             jax.lax.stop_gradient(hit.t)))
+    unlit = (kind == KIND_EXHAUSTED) | (kind == KIND_DEBUG)
+    red = jnp.zeros_like(hit.face_normal).at[..., 0].set(1.0)
     normal = jnp.where((kind == KIND_SURFACE)[..., None], n_surface,
-                       hit.face_normal)
-    unlit = kind == KIND_EXHAUSTED
+                       jnp.where((kind == KIND_DEBUG)[..., None], red,
+                                 hit.face_normal))
     return t, normal, unlit
 
 

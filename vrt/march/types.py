@@ -19,6 +19,7 @@ KIND_SURFACE = 1     # isosurface root inside a cell (interp modes)
 KIND_SOLID_ENTRY = 2 # entry cell fully solid -> hit at volume entry face
 KIND_EXHAUSTED = 3   # 255-iteration cap -> reference reports t=10, unlit red
 KIND_CUBE = 4        # cube mode: entered a voxel with density <= 0
+KIND_DEBUG = 5       # SHADER_DEBUG overlay: octree-node border (unlit red)
 
 
 def pack_cell_corners(sdf) -> np.ndarray:

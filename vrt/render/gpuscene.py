@@ -45,6 +45,8 @@ class RenderMode:
     interp: bool = True
     textured: bool = True
     lit: bool = True
+    # SHADER_DEBUG equivalent: draw collapsed-octree node bounds unlit red
+    debug_overlay: bool = False
 
     @classmethod
     def from_enum(cls, mode: int) -> "RenderMode":

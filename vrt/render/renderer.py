@@ -74,7 +74,8 @@ def _object_normal_to_world(rot, scale, n_obj):
     return vq.rotate(rot, n_obj) * scale
 
 
-def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool):
+def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
+                debug_overlay: bool = False):
     """Closest hit across all active instances.
 
     Returns (hit: MarchHit (object-space brackets of the winning instance),
@@ -89,7 +90,8 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool):
         vol = jax.tree.map(lambda x: x[vi], scene.volumes)
         o, d = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
                                 scene.inst_scale[i], o_w, d_w)
-        h = march_volume(vol, o, d, t_max, interp=interp)
+        h = march_volume(vol, o, d, t_max, interp=interp,
+                         debug_overlay=debug_overlay)
         better = scene.inst_active[i] & h.hit & (h.t < best.t)
         best = h.select(better, best)
         best_inst = jnp.where(better, i, best_inst)
@@ -290,7 +292,8 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode):
         return jnp.zeros((r, 3), jnp.float32)
 
     hit, inst = march_scene(scene, o_w, d_w,
-                            jnp.full(r, RADIANCE_TMAX), mode.interp)
+                            jnp.full(r, RADIANCE_TMAX), mode.interp,
+                            debug_overlay=mode.debug_overlay)
     t, n_obj, unlit_attr = resolve_scene(scene, o_w, d_w, hit, inst)
 
     # Sanitize miss lanes before shading: their values are discarded by the
