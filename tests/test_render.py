@@ -332,3 +332,25 @@ class TestDebugOverlay:
         red_px = (np.abs(img[..., 0] - red) < 1e-3) & (img[..., 1] < 1e-3)
         assert red_px.sum() > 10
         assert not np.allclose(img, plain)
+
+
+class TestQuantizedDensities:
+    def test_image_match_mode(self):
+        vol = VoxelVolume.from_generator(S.Sphere(radius=50.0), 4, 100.0)
+        plain = _simple_scene()
+        quant = _simple_scene(quantize_densities=True)
+        # quantization is 0.01 steps: images nearly but not exactly equal
+        i1 = np.asarray(render_image(plain, 17, 17, RenderMode()))
+        i2 = np.asarray(render_image(quant, 17, 17, RenderMode()))
+        assert np.abs(i1 - i2).max() < 0.05
+        sq = np.asarray(quant.volumes.sdf[0])
+        assert np.allclose(sq * 100, np.round(sq * 100), atol=1e-3)
+
+
+class TestSortedRender:
+    def test_sorted_matches_unsorted(self):
+        scene = _simple_scene()
+        img1 = np.asarray(render_image(scene, 19, 17, RenderMode()))
+        img2 = np.asarray(render_image(scene, 19, 17, RenderMode(),
+                                       chunk_size=64, sort_rays=True))
+        np.testing.assert_allclose(img1, img2, atol=1e-6)

@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--mode", type=int, default=0, help="EVRenderMode 0-7")
+    ap.add_argument("--debug-overlay", action="store_true",
+                    help="draw octree-node bounds (SHADER_DEBUG)")
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--camera", type=float, nargs=3,
                     default=(300.0, 0.0, 100.0))
     ap.add_argument("--yaw", type=float, default=180.0)
@@ -52,6 +55,9 @@ def main(argv=None):
             strength=6.0))
 
     mode = RenderMode.from_enum(args.mode)
+    if args.debug_overlay:
+        import dataclasses
+        mode = dataclasses.replace(mode, debug_overlay=True)
 
     frames = max(1, args.turntable)
     for i in range(frames):
@@ -63,7 +69,8 @@ def main(argv=None):
         scene.active_camera = cam
         t0 = time.perf_counter()
         img = np.asarray(render_image(scene.to_gpu(), args.width,
-                                      args.height, mode))
+                                      args.height, mode,
+                                      chunk_size=args.chunk))
         dt = time.perf_counter() - t0
         out = args.out if frames == 1 else \
             args.out.replace(".png", f"_{i:03d}.png")

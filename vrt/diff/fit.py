@@ -61,8 +61,10 @@ def rebuild_accel(scene: GPUScene) -> GPUScene:
     accel = jax.vmap(lambda s: build_accel(s, resolution))(sdf)
     corners = scene.volumes.corners
     if corners is not None:
-        corners = jax.lax.stop_gradient(
-            jax.vmap(pack_cell_corners)(sdf))
+        # packed differentiably: resolve-phase corner gathers backprop into
+        # the SDF through the packing slices (the march still consumes the
+        # packed table under its own stop_gradient)
+        corners = jax.vmap(pack_cell_corners)(sdf, accel)
     return dataclasses.replace(
         scene, volumes=dataclasses.replace(scene.volumes, accel=accel,
                                            corners=corners))

@@ -74,6 +74,36 @@ def gather_corners(fetch, cell):
     return fetch(idx)
 
 
+def corner_fetch_from_voxels(fetch):
+    """Adapt a voxel fetch into a per-cell 8-corner fetch."""
+    return lambda cell: gather_corners(fetch, cell)
+
+
+def make_stacked_corner_fetch(corners, n_per_ray, vol_per_ray):
+    """Per-cell corner fetch from the packed [V,C,C,C,8|9] layout with
+    per-ray volume selection — ONE contiguous gather per cell instead of 8
+    scattered voxel gathers.  Out-of-range cells return zeros.
+
+    Differentiability: gathers flow gradients into ``corners``; when the
+    packed layout is produced in-graph from the SDF
+    (``vrt.diff.fit.rebuild_accel``), pixel gradients reach the SDF through
+    the packing slices exactly as through direct voxel gathers.
+    """
+    cc = corners.shape[1]
+    ch = corners.shape[-1]
+    flat = corners.reshape(-1, ch)
+
+    def cfetch(cell):
+        valid = jnp.all((cell >= 0) & (cell + 1 < n_per_ray[:, None]),
+                        axis=-1)
+        ic = jnp.clip(cell, 0, cc - 1)
+        idx = (vol_per_ray * (cc * cc * cc)
+               + (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2])
+        return jnp.where(valid[..., None], flat[idx][..., :8], 0.0)
+
+    return cfetch
+
+
 def cubic_coefficients(v, a1, b1):
     """Cubic coefficients (A,B,C,D) from 8 corner values and the segment.
 
@@ -166,19 +196,20 @@ def surface_intersection(A, B, C, D, t_in, t_out):
     return hit, t_hit
 
 
-def trilinear_density(fetch, cell, p):
+def trilinear_density(cfetch, cell, p):
     """Trilinear SDF sample at cell-space position ``p`` [R,3] of ``cell``.
 
-    Uses the reference's ``abs((1-i) - p)`` weight form (``GetDensity``),
-    which extrapolates symmetrically when p leaves [0,1] — behavior the
-    normal estimation relies on near cell borders.
+    ``cfetch(cell) -> [R,8]`` supplies the corner values (packed-layout or
+    voxel-gather backed).  Uses the reference's ``abs((1-i) - p)`` weight
+    form (``GetDensity``), which extrapolates symmetrically when p leaves
+    [0,1] — behavior the normal estimation relies on near cell borders.
     """
-    v = gather_corners(fetch, cell)  # [R,8]
+    v = cfetch(cell)  # [R,8]
     w = jnp.abs((1.0 - CORNERS)[None, :, :] - p[:, None, :])  # [R,8,3]
     return jnp.sum(jnp.prod(w, axis=-1) * v, axis=-1)
 
 
-def central_difference_normal(fetch, cell, p):
+def central_difference_normal(cfetch, cell, p):
     """Central-difference normal at cell-space position p of ``cell``.
 
     Samples the trilinear field at the 6 neighbor cells with the *same*
@@ -188,9 +219,9 @@ def central_difference_normal(fetch, cell, p):
     ex = jnp.array([1, 0, 0], jnp.int32)
     ey = jnp.array([0, 1, 0], jnp.int32)
     ez = jnp.array([0, 0, 1], jnp.int32)
-    gx = trilinear_density(fetch, cell + ex, p) - trilinear_density(fetch, cell - ex, p)
-    gy = trilinear_density(fetch, cell + ey, p) - trilinear_density(fetch, cell - ey, p)
-    gz = trilinear_density(fetch, cell + ez, p) - trilinear_density(fetch, cell - ez, p)
+    gx = trilinear_density(cfetch, cell + ex, p) - trilinear_density(cfetch, cell - ex, p)
+    gy = trilinear_density(cfetch, cell + ey, p) - trilinear_density(cfetch, cell - ey, p)
+    gz = trilinear_density(cfetch, cell + ez, p) - trilinear_density(cfetch, cell - ez, p)
     g = jnp.stack([gx, gy, gz], axis=-1)
     # gradient-safe normalize: the reference maps NaN results to zero
     # (Voxel.hlsli:794-799); a zero gradient vector normalizes to NaN in

@@ -131,21 +131,44 @@ def _pos_to_cell(vol: DeviceVolume, p):
 
 
 def _make_corner_fetch(vol: DeviceVolume, fetch):
-    """Per-cell 8-corner fetch: one packed contiguous gather when the
-    corner-packed layout is present, else 8 scattered voxel gathers.
+    """Per-cell fused fetch: (8 corner values, packed accel value) from ONE
+    contiguous 9-float gather when the packed layout is present, else 8
+    scattered voxel gathers + a separate accel gather.
     Out-of-range cells return zeros (their values are always masked)."""
     if vol.corners is None:
-        return lambda cell: iso.gather_corners(fetch, cell)
+        def legacy(cell):
+            v8 = iso.gather_corners(fetch, cell)
+            av = _gather_accel(vol.accel, vol.n - 1, cell)
+            return v8, av
+
+        return legacy
     cc = vol.corners.shape[0]
-    flat = vol.corners.reshape(-1, 8)
+    ch = vol.corners.shape[-1]
+    flat = vol.corners.reshape(-1, ch)
 
     def corner_fetch(cell):
         valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
         ic = jnp.clip(cell, 0, cc - 1)
         idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
-        return jnp.where(valid[..., None], flat[idx], 0.0)
+        vals = jnp.where(valid[..., None], flat[idx], 0.0)
+        if ch > 8:
+            return vals[..., :8], vals[..., 8].astype(jnp.int32)
+        return vals, _gather_accel(vol.accel, vol.n - 1, cell)
 
     return corner_fetch
+
+
+def _node_from_accel(vol: DeviceVolume, cell, av):
+    """Node geometry from an already-gathered packed accel value."""
+    valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
+    level = av >> 1
+    has_surface = (av & 1) == 1
+    origin_idx = (cell >> level[..., None]) << level[..., None]
+    node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
+    node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
+    node_pos = jnp.where(valid[..., None], node_pos, -1.0)
+    node_size = jnp.where(valid, node_size, 0.0)
+    return valid, has_surface, node_pos, node_size
 
 
 def _entry_face_normal(o, d, t_enter, ext):
@@ -198,7 +221,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
     entry_norm = _entry_face_normal(o, d, t_enter_b, ext)
 
     if interp:
-        corners0 = corner_fetch(cell0)
+        corners0, _ = corner_fetch(cell0)
         solid0 = jnp.all(corners0 < 0.0, axis=-1)
         rep = active & valid0 & solid0
         acc = rep & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
@@ -236,10 +259,13 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
         n = vol.n
         if interp:
             valid = jnp.all((cell >= 0) & (cell + 1 < n), axis=-1)
+            # fused single gather: corners + packed accel
+            v8, av = corner_fetch(cell)
+            node_valid, has_surf, node_pos, node_size = _node_from_accel(
+                vol, cell, av)
         else:
             valid = jnp.all((cell >= 0) & (cell < n), axis=-1)  # voxel-valid
-
-        node_valid, has_surf, node_pos, node_size = _get_node(vol, cell)
+            node_valid, has_surf, node_pos, node_size = _get_node(vol, cell)
 
         if debug_overlay:
             # SHADER_DEBUG: unlit red hit on octree-node borders
@@ -259,7 +285,6 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
         next_cell = _pos_to_cell(vol, o + d * new_exit[..., None])
 
         if interp:
-            v8 = corner_fetch(cell)
             p_in = o + d * cell_enter[..., None]
             p_out = o + d * new_exit[..., None]
             cell_base = cell.astype(jnp.float32) * vol.cell_size - ext

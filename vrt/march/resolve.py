@@ -48,13 +48,18 @@ def _slab_enter(o, d, ext):
     return jnp.max(tmin3, axis=-1)
 
 
-def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit):
+def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit,
+                 cfetch=None):
     """-> (t f32[R], normal_object_space f32[R,3], unlit bool[R]).
 
     ``fetch`` is an isosurface-style voxel fetch (single-volume or stacked
-    per-ray); ``cell_size``/``extends`` broadcast against [R].  Only
-    meaningful on lanes with ``hit.hit``.
+    per-ray); ``cfetch`` optionally supplies a per-cell 8-corner fetch (the
+    packed layout, one gather per cell) — falls back to voxel gathers.
+    ``cell_size``/``extends`` broadcast against [R].  Only meaningful on
+    lanes with ``hit.hit``.
     """
+    if cfetch is None:
+        cfetch = iso.corner_fetch_from_voxels(fetch)
     cell = hit.cell
     h = jnp.broadcast_to(jnp.asarray(cell_size), hit.t.shape)
     ext = jnp.broadcast_to(jnp.asarray(extends), hit.t.shape)
@@ -66,7 +71,7 @@ def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit):
 
     def field(t):
         p = (o + d * t[..., None] - cell_base) / h[..., None]
-        return iso.trilinear_density(fetch, cell, p)
+        return iso.trilinear_density(cfetch, cell, p)
 
     f0, fp = jax.jvp(field, (t0_safe,), (jnp.ones_like(t0_safe),))
     fp_s = jax.lax.stop_gradient(fp)
@@ -75,7 +80,7 @@ def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit):
     t_surface = t0_safe - jnp.where(safe, corr, 0.0)
 
     p_hit = (o + d * t_surface[..., None] - cell_base) / h[..., None]
-    n_surface = iso.central_difference_normal(fetch, cell, p_hit)
+    n_surface = iso.central_difference_normal(cfetch, cell, p_hit)
 
     # ---- solid-entry hits: differentiable biased slab entry --------------
     t_solid = _slab_enter(o, d, ext[..., None]) + 0.01

@@ -22,16 +22,21 @@ KIND_CUBE = 4        # cube mode: entered a voxel with density <= 0
 KIND_DEBUG = 5       # SHADER_DEBUG overlay: octree-node border (unlit red)
 
 
-def pack_cell_corners(sdf) -> np.ndarray:
-    """[N,N,N] SDF -> [N-1,N-1,N-1,8] per-cell corner values in the
-    reference corner order (VOXEL_COORDS).  Works on numpy and traced
+def pack_cell_corners(sdf, accel=None) -> np.ndarray:
+    """[N,N,N] SDF -> [N-1,N-1,N-1,8|9] per-cell corner values in the
+    reference corner order (VOXEL_COORDS), with the packed accel value
+    appended as a 9th (exactly-representable) float channel when given —
+    the march then needs ONE gather per step.  Works on numpy and traced
     arrays (stack of static slices) so fitting can re-pack in-jit."""
     from vrt.march.isosurface import CORNERS
 
     xp = jnp if isinstance(sdf, jax.Array) else np
     c = sdf.shape[0] - 1
-    return xp.stack([sdf[dx:dx + c, dy:dy + c, dz:dz + c]
-                     for dx, dy, dz in CORNERS], axis=-1)
+    chans = [sdf[dx:dx + c, dy:dy + c, dz:dz + c]
+             for dx, dy, dz in CORNERS]
+    if accel is not None:
+        chans.append(accel.astype(sdf.dtype))
+    return xp.stack(chans, axis=-1)
 
 
 @jax.tree_util.register_dataclass
@@ -51,11 +56,11 @@ class DeviceVolume:
     n: jax.Array          # i32 [] actual voxels per axis
     cell_size: jax.Array  # f32 []
     extends: jax.Array    # f32 []
-    # Corner-packed SDF: corners[c] = the 8 cell-corner values of cell c,
-    # so the march's per-step corner fetch is ONE gather of 8 contiguous
-    # floats instead of 8 scattered gathers (8x fewer gather descriptors,
-    # HBM-burst friendly).  8x memory; None-able for memory-tight fitting.
-    corners: jax.Array | None = None  # f32 [N-1,N-1,N-1,8]
+    # Corner-packed SDF (+accel): corners[c] = the 8 cell-corner values of
+    # cell c plus the packed accel value as a 9th float channel — the
+    # march's per-step fetch (corners + skip level + surface flag) is ONE
+    # contiguous gather.  9x memory; None-able for memory-tight fitting.
+    corners: jax.Array | None = None  # f32 [N-1,N-1,N-1,9]
 
     @classmethod
     def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None,
@@ -68,7 +73,7 @@ class DeviceVolume:
         sdf = np.asarray(vol.sdf, np.float32)
         mats = np.asarray(vol.voxel_materials, np.int32)
         accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
-        corners = pack_cell_corners(sdf) if pack_corners else None
+        corners = (pack_cell_corners(sdf, accel) if pack_corners else None)
         if pad_n > n:
             p = pad_n - n
             sdf = np.pad(sdf, ((0, p),) * 3)

@@ -153,7 +153,8 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 tex_sizes: np.ndarray | None = None,
                 texture_ids: Sequence[tuple] | None = None,
                 voxel_colors: np.ndarray | None = None,
-                pad_volumes_to: int | None = None) -> GPUScene:
+                pad_volumes_to: int | None = None,
+                quantize_densities: bool = False) -> GPUScene:
     """Assemble a GPUScene from host data.
 
     instances: dicts {volume: int, position, rotation(quat xyzw), scale}.
@@ -164,6 +165,18 @@ def build_scene(volumes: Sequence,  # VoxelVolume
     (``DXLightFactory.cpp:20-50``).
     """
     assert len(volumes) >= 1
+    if quantize_densities:
+        # emulate the DX backend's 15-bit sign-magnitude fixed-point density
+        # encoding for bit-level image comparison with the reference
+        # (RDXVoxelVolume.cpp:399-421)
+        from vrt.core.grid import quantize_density_like_reference
+        from vrt.volume.volume import VoxelVolume as _VV
+
+        volumes = [
+            _VV(v.resolution, v.extends, material=v.material,
+                sdf=np.asarray(quantize_density_like_reference(v.sdf)),
+                voxel_materials=v.voxel_materials)
+            for v in volumes]
     n_max = pad_volumes_to or max(v.n_voxels for v in volumes)
     dvs = [DeviceVolume.from_volume(v, pad_to=n_max) for v in volumes]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *dvs)

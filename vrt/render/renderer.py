@@ -122,7 +122,12 @@ def resolve_scene(scene: GPUScene, o_w, d_w, hit: MarchHit, inst):
     pr = _per_ray_instance(scene, inst)
     o, d = _world_to_object(pr["pos"], pr["rot"], pr["scale"], o_w, d_w)
     fetch = iso.make_stacked_fetch(scene.volumes.sdf, pr["n"], pr["vol"])
-    return resolve_hits(fetch, pr["cell_size"], pr["extends"], o, d, hit)
+    cfetch = None
+    if scene.volumes.corners is not None:
+        cfetch = iso.make_stacked_corner_fetch(scene.volumes.corners,
+                                               pr["n"], pr["vol"])
+    return resolve_hits(fetch, pr["cell_size"], pr["extends"], o, d, hit,
+                        cfetch=cfetch)
 
 
 def _voxel_color_sample(scene: GPUScene, pr, hit: MarchHit, o_w, d_w, t):
@@ -148,12 +153,21 @@ def _voxel_color_sample(scene: GPUScene, pr, hit: MarchHit, o_w, d_w, t):
 
 
 def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
-                 interp: bool):
+                 interp: bool, relevant=None):
     """Boolean occlusion trace (``TraceShadowRay``, ``Ray.hlsli:81-109``):
     any accepted hit within [0, max_dist] blocks; recursion-capped rays
-    return un-blocked."""
+    return un-blocked.
+
+    ``relevant`` masks lanes whose result the caller discards (miss pixels,
+    below-threshold lights): their t_max is forced to -inf so the slab test
+    deactivates them instantly and the batched while_loop runs only as long
+    as the *relevant* lanes need.  Pure optimization — irrelevant lanes'
+    returned values are unspecified.
+    """
     if depth >= MAX_RAY_RECURSION_DEPTH:
         return jnp.zeros(o_w.shape[0], bool)
+    if relevant is not None:
+        max_dist = jnp.where(relevant, max_dist, -jnp.inf)
     hit, _ = march_scene(scene, o_w, d_w, max_dist, interp)
     return hit.hit
 
@@ -171,7 +185,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
                                   jnp.broadcast_to(scene.dir_light_dir,
                                                    d_w.shape),
                                   jnp.full(t.shape, DIR_SHADOW_TMAX),
-                                  depth + 1, mode.interp)
+                                  depth + 1, mode.interp, relevant=hit.hit)
 
     diffuse = jnp.full(d_w.shape, _brdf.SHADOW_BRIGHTNESS)
 
@@ -211,7 +225,8 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         refl_dir = d_w - 2.0 * jnp.sum(d_w * n_w, -1, keepdims=True) * n_w
         refl_dir = _safe_unit(refl_dir)
         refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
-                                  depth + 1, mode)
+                                  depth + 1, mode,
+                                  active=hit.hit & (roughness < 0.3))
         refl_rgb = jnp.maximum(
             0.0, refl_rgb * (1.0 - (roughness * 2.2)[..., None]))
         add = _brdf.radiance(refl_rgb, refl_dir, wo, n_w, albedo,
@@ -235,7 +250,8 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         li = scene.point_color[pi][:3] * inten[..., None]
         sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
-                          depth + 1, mode.interp)
+                          depth + 1, mode.interp,
+                          relevant=hit.hit & (inten > 0.005))
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
                              metallic, k)
         lit = (inten > 0.005) & ~sh
@@ -254,7 +270,8 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         li = scene.spot_color[si][:3] * inten[..., None]
         sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
-                          depth + 1, mode.interp)
+                          depth + 1, mode.interp,
+                          relevant=hit.hit & (inten > 0.01))
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
                              metallic, k)
         lit = (inten > 0.01) & ~sh
@@ -281,18 +298,24 @@ def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
     return jnp.broadcast_to(tint, d_w.shape)
 
 
-def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode):
+def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
+                   active=None):
     """One radiance dispatch level; returns linear rgb [R,3].
 
     Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
-    a static Python unroll over depth (cap 3).
+    a static Python unroll over depth (cap 3).  ``active`` masks lanes whose
+    result the caller discards (e.g. non-reflective pixels spawning bounce
+    rays): they are deactivated before the march so the shared while_loop
+    runs only for live lanes.
     """
     r = o_w.shape[0]
     if depth >= MAX_RAY_RECURSION_DEPTH:
         return jnp.zeros((r, 3), jnp.float32)
 
-    hit, inst = march_scene(scene, o_w, d_w,
-                            jnp.full(r, RADIANCE_TMAX), mode.interp,
+    t_max = jnp.full(r, RADIANCE_TMAX)
+    if active is not None:
+        t_max = jnp.where(active, t_max, -jnp.inf)
+    hit, inst = march_scene(scene, o_w, d_w, t_max, mode.interp,
                             debug_overlay=mode.debug_overlay)
     t, n_obj, unlit_attr = resolve_scene(scene, o_w, d_w, hit, inst)
 
@@ -328,17 +351,37 @@ def tonemap(rgb):
                     0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size"))
+def _scene_hit_key(scene: GPUScene, o_w, d_w):
+    """Cheap per-ray sort key: 0 if the ray can hit any instance AABB,
+    1 otherwise (pure slab tests, no marching)."""
+    from vrt.march.march import ray_aabb
+
+    any_hit = jnp.zeros(o_w.shape[0], bool)
+    for i in range(scene.num_instances):
+        o, d = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
+                                scene.inst_scale[i], o_w, d_w)
+        ok, _, _ = ray_aabb(o, d, -scene.volumes.extends[scene.inst_volume[i]],
+                            scene.volumes.extends[scene.inst_volume[i]],
+                            jnp.full(o.shape[0], RADIANCE_TMAX))
+        any_hit = any_hit | (ok & scene.inst_active[i])
+    return jnp.where(any_hit, 0, 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size",
+                                   "sort_rays"))
 def render_image(scene: GPUScene, width: int, height: int,
                  mode: RenderMode = RenderMode(),
-                 chunk_size: int | None = None):
+                 chunk_size: int | None = None,
+                 sort_rays: bool = False):
     """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32.
 
     ``chunk_size`` splits the pixel batch into independently-marched chunks
     (``lax.map``): each chunk's masked while_loop runs only as many steps as
     *its* slowest ray, so sky-dominated regions finish early instead of
-    idling behind the frame's worst ray.  None processes the frame as one
-    batch.
+    idling behind the frame's worst ray.  ``sort_rays`` additionally groups
+    rays by a cheap can-hit-the-scene slab key before chunking, so whole
+    miss-chunks retire in one or two iterations.  None processes the frame
+    as one batch.
     """
     from vrt.render.camera import camera_rays
 
@@ -346,6 +389,12 @@ def render_image(scene: GPUScene, width: int, height: int,
                        width, height)
     total = width * height
     if chunk_size and total > chunk_size:
+        perm = None
+        if sort_rays:
+            key = _scene_hit_key(scene, o, d)
+            perm = jnp.argsort(key, stable=True)
+            o = o[perm]
+            d = d[perm]
         pad = (-total) % chunk_size
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -355,6 +404,8 @@ def render_image(scene: GPUScene, width: int, height: int,
         rgb = jax.lax.map(
             lambda od: trace_radiance(scene, od[0], od[1], 0, mode), (o, d))
         rgb = rgb.reshape(-1, 3)[:total]
+        if perm is not None:
+            rgb = jnp.zeros_like(rgb).at[perm].set(rgb)
     else:
         rgb = trace_radiance(scene, o, d, 0, mode)
     img = tonemap(rgb).reshape(height, width, 3)
