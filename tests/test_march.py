@@ -169,3 +169,37 @@ class TestGoldenVsNumpyReference:
         rays_d = rng.normal(size=(20, 3)).astype(np.float32)
         rays_d /= np.linalg.norm(rays_d, axis=1, keepdims=True)
         self._compare(vol, rays_o, rays_d)
+
+
+class TestChebyshevAccel:
+    """The distance-map skip mode must produce the same hits."""
+
+    def test_hits_match_octree_mode(self):
+        from scipy.ndimage import gaussian_filter
+        rng = np.random.default_rng(11)
+        r = 4
+        n = (1 << r) + 1
+        sdf = gaussian_filter(rng.normal(size=(n, n, n)), 1.3).astype(
+            np.float32) * 12.0
+        vol = VoxelVolume(r, 40.0, sdf=sdf)
+        dv_oct = DeviceVolume.from_volume(vol)
+        dv_che = DeviceVolume.from_volume(vol, accel_mode="chebyshev")
+
+        dirs = rng.normal(size=(200, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        o = jnp.asarray(-dirs * 120.0
+                        + rng.normal(scale=25, size=(200, 3)).astype(np.float32))
+        d = jnp.asarray(dirs)
+        tm = jnp.full(200, 1e4, jnp.float32)
+
+        h1 = march_volume(dv_oct, o, d, tm)
+        h2 = march_volume(dv_che, o, d, tm)
+        agree = np.asarray(h1.hit) == np.asarray(h2.hit)
+        assert agree.mean() > 0.995, agree.mean()
+        both = np.asarray(h1.hit) & np.asarray(h2.hit)
+        np.testing.assert_allclose(np.asarray(h1.t)[both],
+                                   np.asarray(h2.t)[both], atol=1e-2,
+                                   rtol=1e-4)
+        same_cell = np.all(np.asarray(h1.cell)[both]
+                           == np.asarray(h2.cell)[both], axis=1)
+        assert same_cell.mean() > 0.99

@@ -67,7 +67,8 @@ def rebuild_accel(scene: GPUScene) -> GPUScene:
         corners = jax.vmap(pack_cell_corners)(sdf, accel)
     return dataclasses.replace(
         scene, volumes=dataclasses.replace(scene.volumes, accel=accel,
-                                           corners=corners))
+                                           corners=corners,
+                                           accel_mode="octree"))
 
 
 def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,

@@ -108,22 +108,14 @@ def _gather_accel(accel, n_cells, cell):
 
 
 def _get_node(vol: DeviceVolume, cell):
-    """Skip-level lookup == collapsed-octree node for ``cell``.
+    """Skip-node lookup (== collapsed-octree node in 'octree' mode) for
+    ``cell``.
 
     Invalid cells return the degenerate node (pos (-1,-1,-1), size 0) like
     ``GetOctreeNode``'s fall-through (``SH/Include/Voxel.hlsli:293-495``).
     """
-    n = vol.n
-    valid = jnp.all((cell >= 0) & (cell + 1 < n), axis=-1)  # IsValidCell
-    av = _gather_accel(vol.accel, n - 1, cell)
-    level = av >> 1
-    has_surface = (av & 1) == 1
-    origin_idx = (cell >> level[..., None]) << level[..., None]
-    node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
-    node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
-    node_pos = jnp.where(valid[..., None], node_pos, -1.0)
-    node_size = jnp.where(valid, node_size, 0.0)
-    return valid, has_surface, node_pos, node_size
+    av = _gather_accel(vol.accel, vol.n - 1, cell)
+    return _node_from_accel(vol, cell, av)
 
 
 def _pos_to_cell(vol: DeviceVolume, p):
@@ -159,13 +151,25 @@ def _make_corner_fetch(vol: DeviceVolume, fetch):
 
 
 def _node_from_accel(vol: DeviceVolume, cell, av):
-    """Node geometry from an already-gathered packed accel value."""
+    """Node geometry from an already-gathered packed accel value.
+
+    'octree' mode: aligned 2^L skip blocks (collapsed-octree parity).
+    'chebyshev' mode: the surface-free cube of half-extent d-1 centered on
+    the cell (d = chessboard distance to the nearest surface cell) —
+    usually a larger skip, identical hit results.
+    """
     valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
-    level = av >> 1
     has_surface = (av & 1) == 1
-    origin_idx = (cell >> level[..., None]) << level[..., None]
+    if vol.accel_mode == "chebyshev":
+        d = av >> 1
+        half = jnp.maximum(d - 1, 0)
+        origin_idx = cell - half[..., None]
+        node_size = (2.0 * half.astype(jnp.float32) + 1.0) * vol.cell_size
+    else:
+        level = av >> 1
+        origin_idx = (cell >> level[..., None]) << level[..., None]
+        node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
     node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
-    node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
     node_pos = jnp.where(valid[..., None], node_pos, -1.0)
     node_size = jnp.where(valid, node_size, 0.0)
     return valid, has_surface, node_pos, node_size

@@ -253,7 +253,7 @@ def march_volume_pallas(vol: DeviceVolume, o, d, t_max,
     tiles = (r + pad) // TILE
 
     cc = vol.corners.shape[0]
-    corners_flat = vol.corners.reshape(cc * cc * cc, 8)
+    corners_flat = vol.corners.reshape(cc * cc * cc, -1)[:, :8]
     accel_flat = vol.accel.reshape(-1)
 
     params = jnp.stack([

@@ -61,10 +61,16 @@ class DeviceVolume:
     # march's per-step fetch (corners + skip level + surface flag) is ONE
     # contiguous gather.  9x memory; None-able for memory-tight fitting.
     corners: jax.Array | None = None  # f32 [N-1,N-1,N-1,9]
+    # Accel interpretation: 'octree' = aligned skip-level blocks (reference
+    # traversal parity); 'chebyshev' = distance-map cubes (bigger skips,
+    # identical hits).  Static: switching recompiles.
+    accel_mode: str = dataclasses.field(metadata=dict(static=True),
+                                        default="octree")
 
     @classmethod
     def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None,
-                    pack_corners: bool = True) -> "DeviceVolume":
+                    pack_corners: bool = True,
+                    accel_mode: str = "octree") -> "DeviceVolume":
         """Host-side (numpy) assembly — a single device transfer per array,
         no eager device ops (the accel build runs vectorized on the host)."""
         n = vol.n_voxels
@@ -72,7 +78,12 @@ class DeviceVolume:
         assert pad_n >= n
         sdf = np.asarray(vol.sdf, np.float32)
         mats = np.asarray(vol.voxel_materials, np.int32)
-        accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
+        if accel_mode == "chebyshev":
+            from vrt.volume.accel import build_accel_chebyshev
+
+            accel = np.asarray(build_accel_chebyshev(sdf), np.int32)
+        else:
+            accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
         corners = (pack_cell_corners(sdf, accel) if pack_corners else None)
         if pad_n > n:
             p = pad_n - n
@@ -87,7 +98,8 @@ class DeviceVolume:
                    cell_size=jnp.asarray(vol.cell_size, jnp.float32),
                    extends=jnp.asarray(vol.extends, jnp.float32),
                    corners=(None if corners is None
-                            else jnp.asarray(corners)))
+                            else jnp.asarray(corners)),
+                   accel_mode=accel_mode)
 
 
 @jax.tree_util.register_dataclass

@@ -154,7 +154,8 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 texture_ids: Sequence[tuple] | None = None,
                 voxel_colors: np.ndarray | None = None,
                 pad_volumes_to: int | None = None,
-                quantize_densities: bool = False) -> GPUScene:
+                quantize_densities: bool = False,
+                accel_mode: str = "octree") -> GPUScene:
     """Assemble a GPUScene from host data.
 
     instances: dicts {volume: int, position, rotation(quat xyzw), scale}.
@@ -178,7 +179,8 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 voxel_materials=v.voxel_materials)
             for v in volumes]
     n_max = pad_volumes_to or max(v.n_voxels for v in volumes)
-    dvs = [DeviceVolume.from_volume(v, pad_to=n_max) for v in volumes]
+    dvs = [DeviceVolume.from_volume(v, pad_to=n_max, accel_mode=accel_mode)
+           for v in volumes]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *dvs)
 
     vcount = len(volumes)

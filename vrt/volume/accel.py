@@ -95,3 +95,22 @@ def build_accel(sdf, resolution: int):
 def unpack_accel(accel):
     """-> (skip_level int32, has_surface bool)."""
     return accel >> 1, (accel & 1).astype(bool)
+
+
+def build_accel_chebyshev(sdf, resolution: int = 0):
+    """Alternative accel: packed ``(chebyshev_distance << 1) | has_surface``.
+
+    ``chebyshev_distance[c]`` is the chessboard distance (in cells) to the
+    nearest surface cell (0 on surface cells).  A ray in cell ``c`` can skip
+    the cube of half-extent ``d-1`` centered on ``c`` — generally a larger
+    jump than the aligned power-of-two block of the octree-equivalent field,
+    at identical hit results (skipped cubes are surface-free by
+    construction).  Host-side build (scipy distance transform); the in-jit
+    fit path keeps the octree-equivalent field.
+    """
+    from scipy import ndimage
+
+    has_surface = np.asarray(cell_corner_signs_differ(sdf))
+    dist = ndimage.distance_transform_cdt(
+        ~has_surface, metric="chessboard").astype(np.int32)
+    return (dist << 1) | has_surface.astype(np.int32)
