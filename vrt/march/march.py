@@ -1,16 +1,26 @@
-"""Batched DDA ray march through a voxel SDF volume.
+"""Batched DDA ray march through voxel SDF volumes.
 
 TPU re-design of the DXR intersection shaders ``VRIntersection`` /
 ``VRIntersectionShadowRay`` (``SH/Raytracing.hlsl:147-442``) and the cube
 variant (``SH/Raytracing_Cube.hlsl``): one masked ``lax.while_loop`` carries
-*all* rays of a dispatch simultaneously; every step costs one packed accel
-gather + (interp mode) eight corner-SDF gathers, and empty space is skipped
-with the collapsed-octree-equivalent skip-level field (``vrt.volume.accel``)
-instead of the reference's 8-level pointer walk.
+*all* lanes of a dispatch simultaneously; every step costs one fused
+contiguous gather (8 cell corners + the packed accel value), and empty
+space is skipped with the collapsed-octree-equivalent skip-level field
+(``vrt.volume.accel``) — or the opt-in Chebyshev distance-map — instead of
+the reference's 8-level pointer walk.
+
+The core (``_march_core``) is parameterized over per-lane volume data, so
+the same loop serves:
+
+- ``march_volume``: one volume, lanes = rays,
+- the fused scene march (``vrt.render.renderer.march_scene``): lanes =
+  rays x instances in a single while_loop — DXR tests every TLAS candidate
+  concurrently; marching 20 instances as 20 sequential loops would
+  serialize what the hardware overlaps.
 
 Semantics reproduced exactly, including the reference's numeric quirks:
 
-- slab test with the ``(d>0) ? INF : -INF`` zero-direction handling
+- slab tests with the ``(d>0) ? INF : -INF`` zero-direction handling
   (``SH/Include/Ray.hlsli:111-133``),
 - +0.01 bias on the volume-entry t, +0.1 bias on every node-exit t
   (``SH/Raytracing.hlsl:178,195``, ``SH/Include/Voxel.hlsli:123``),
@@ -28,7 +38,6 @@ Semantics reproduced exactly, including the reference's numeric quirks:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -40,21 +49,10 @@ from vrt.march.types import (DeviceVolume, MarchHit, KIND_CUBE, KIND_DEBUG,
                              KIND_EXHAUSTED, KIND_SOLID_ENTRY, KIND_SURFACE)
 
 LINE_THICKNESS = 0.5  # SHADER_DEBUG overlay border (Constants.hlsli)
-
-
-def _hits_node_bounds(pos, node_pos, node_size, thickness=LINE_THICKNESS):
-    """``DoesRayHitOctreeBounds`` (SH/Include/Debugging.hlsli:16-38)."""
-    outer_min = node_pos - thickness
-    outer_max = node_pos + node_size[..., None] + thickness
-    inside = jnp.all((pos >= outer_min) & (pos <= outer_max), axis=-1)
-    b = (jnp.abs(pos - node_pos) <= thickness) \
-        | (jnp.abs(pos - (node_pos + node_size[..., None])) <= thickness)
-    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-    border = ((bx | by) & bz) | ((by | bz) & bx)
-    return inside & border
-
 MAX_ITERATIONS = 255  # SH/Raytracing.hlsl:229
 EXHAUSTED_T = 10.0    # SH/Raytracing.hlsl:331
+
+_FACE_EYE = np.eye(3, dtype=np.float32)
 
 
 def _inv_dir(d):
@@ -107,113 +105,78 @@ def _gather_accel(accel, n_cells, cell):
     return jnp.where(valid, vals, 0)
 
 
-def _get_node(vol: DeviceVolume, cell):
-    """Skip-node lookup (== collapsed-octree node in 'octree' mode) for
-    ``cell``.
-
-    Invalid cells return the degenerate node (pos (-1,-1,-1), size 0) like
-    ``GetOctreeNode``'s fall-through (``SH/Include/Voxel.hlsli:293-495``).
-    """
-    av = _gather_accel(vol.accel, vol.n - 1, cell)
-    return _node_from_accel(vol, cell, av)
-
-
-def _pos_to_cell(vol: DeviceVolume, p):
-    return jnp.floor((p + vol.extends) / vol.cell_size).astype(jnp.int32)
+def _hits_node_bounds(pos, node_pos, node_size, thickness=LINE_THICKNESS):
+    """``DoesRayHitOctreeBounds`` (SH/Include/Debugging.hlsli:16-38)."""
+    outer_min = node_pos - thickness
+    outer_max = node_pos + node_size[..., None] + thickness
+    inside = jnp.all((pos >= outer_min) & (pos <= outer_max), axis=-1)
+    b = (jnp.abs(pos - node_pos) <= thickness) \
+        | (jnp.abs(pos - (node_pos + node_size[..., None])) <= thickness)
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    border = ((bx | by) & bz) | ((by | bz) & bx)
+    return inside & border
 
 
-def _make_corner_fetch(vol: DeviceVolume, fetch):
-    """Per-cell fused fetch: (8 corner values, packed accel value) from ONE
-    contiguous 9-float gather when the packed layout is present, else 8
-    scattered voxel gathers + a separate accel gather.
-    Out-of-range cells return zeros (their values are always masked)."""
-    if vol.corners is None:
-        def legacy(cell):
-            v8 = iso.gather_corners(fetch, cell)
-            av = _gather_accel(vol.accel, vol.n - 1, cell)
-            return v8, av
-
-        return legacy
-    cc = vol.corners.shape[0]
-    ch = vol.corners.shape[-1]
-    flat = vol.corners.reshape(-1, ch)
-
-    def corner_fetch(cell):
-        valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
-        ic = jnp.clip(cell, 0, cc - 1)
-        idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
-        vals = jnp.where(valid[..., None], flat[idx], 0.0)
-        if ch > 8:
-            return vals[..., :8], vals[..., 8].astype(jnp.int32)
-        return vals, _gather_accel(vol.accel, vol.n - 1, cell)
-
-    return corner_fetch
-
-
-def _node_from_accel(vol: DeviceVolume, cell, av):
-    """Node geometry from an already-gathered packed accel value.
-
-    'octree' mode: aligned 2^L skip blocks (collapsed-octree parity).
-    'chebyshev' mode: the surface-free cube of half-extent d-1 centered on
-    the cell (d = chessboard distance to the nearest surface cell) —
-    usually a larger skip, identical hit results.
-    """
-    valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
-    has_surface = (av & 1) == 1
-    if vol.accel_mode == "chebyshev":
-        d = av >> 1
-        half = jnp.maximum(d - 1, 0)
-        origin_idx = cell - half[..., None]
-        node_size = (2.0 * half.astype(jnp.float32) + 1.0) * vol.cell_size
-    else:
-        level = av >> 1
-        origin_idx = (cell >> level[..., None]) << level[..., None]
-        node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
-    node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
-    node_pos = jnp.where(valid[..., None], node_pos, -1.0)
-    node_size = jnp.where(valid, node_size, 0.0)
-    return valid, has_surface, node_pos, node_size
-
-
-def _entry_face_normal(o, d, t_enter, ext):
+def _entry_face_normal(o, d, t_enter, ext_v):
     """Box-face normal at entry (``SH/Raytracing.hlsl:198-220``): evaluated
     at pos(t_enter - 0.1); +1 on axes beyond +ext, -1 beyond -ext, else 0;
     then HLSL-normalized (zero vector -> NaN, as in the reference)."""
     rp = o + d * (t_enter - 0.1)[..., None]
-    np_ = jnp.sign(rp - ext)
-    np_ = jnp.where(np_ < 0.0, jnp.where(rp < -ext, -1.0, 0.0), np_)
+    np_ = jnp.sign(rp - ext_v)
+    np_ = jnp.where(np_ < 0.0, jnp.where(rp < -ext_v, -1.0, 0.0), np_)
     return np_ / jnp.linalg.norm(np_, axis=-1, keepdims=True)
 
 
-_FACE_EYE = np.eye(3, dtype=np.float32)
+def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
+                accel_mode: str, o, d, t_max, interp: bool,
+                debug_overlay: bool) -> MarchHit:
+    """The march loop over lanes with (possibly per-lane) volume geometry.
 
-
-@partial(jax.jit, static_argnames=("interp", "debug_overlay"))
-def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
-                 debug_overlay: bool = False) -> MarchHit:
-    """March rays (object space) through one volume.
-
-    o, d: f32 [R,3]; t_max: f32 [R] (DXR TMax / closest-so-far).
-    ``interp=True`` is the isosurface mode, ``False`` the cube mode.
-    Traversal is non-differentiable by construction (callers resolve
-    differentiable quantities afterwards, see ``vrt.march.resolve``).
+    corner_fetch(cell) -> (v8 [L,8], accel [L]); voxel_fetch(cell) -> [L];
+    accel_fetch(cell) -> [L] (cube-mode node lookup); n_l/h_l/ext_l are
+    scalars or [L] lane arrays.
     """
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    vol = jax.lax.stop_gradient(vol)
-    r = o.shape[0]
-    ext = vol.extends
-    fetch = iso.make_fetch(vol.sdf, vol.n)
-    corner_fetch = _make_corner_fetch(vol, fetch)
+    as_lane = (lambda x: x) if jnp.ndim(n_l) == 0 else (lambda x: x)
+    n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
+    h_v = h_l if jnp.ndim(h_l) == 0 else h_l[..., None]
+    ext_v = ext_l if jnp.ndim(ext_l) == 0 else ext_l[..., None]
+    del as_lane
 
-    ok, t_enter, t_exit = ray_aabb(o, d, -ext, ext, t_max)
+    def pos_to_cell(p):
+        return jnp.floor((p + ext_v) / h_v).astype(jnp.int32)
+
+    def is_valid_cell(cell):
+        return jnp.all((cell >= 0) & (cell + 1 < n_v), axis=-1)
+
+    def is_valid_voxel(cell):
+        return jnp.all((cell >= 0) & (cell < n_v), axis=-1)
+
+    def node_from_accel(cell, av):
+        valid = is_valid_cell(cell)
+        has_surface = (av & 1) == 1
+        if accel_mode == "chebyshev":
+            dd = av >> 1
+            half = jnp.maximum(dd - 1, 0)
+            origin_idx = cell - half[..., None]
+            node_size = (2.0 * half.astype(jnp.float32) + 1.0) * h_l
+        else:
+            level = av >> 1
+            origin_idx = (cell >> level[..., None]) << level[..., None]
+            node_size = jnp.exp2(level.astype(jnp.float32)) * h_l
+        node_pos = origin_idx.astype(jnp.float32) * h_v - ext_v
+        node_pos = jnp.where(valid[..., None], node_pos, -1.0)
+        node_size = jnp.where(valid, node_size, 0.0)
+        return valid, has_surface, node_pos, node_size
+
+    ok, t_enter, t_exit = ray_aabb(o, d, -ext_v, ext_v, t_max)
 
     pos_branch = t_enter >= 0.0
     t_enter_b = jnp.where(pos_branch, t_enter + 0.01, t_enter)
     entry_pos = o + d * t_enter_b[..., None]
-    cell0 = jnp.where(pos_branch[..., None], _pos_to_cell(vol, entry_pos),
-                      _pos_to_cell(vol, o))
-    valid0, _, node_pos0, node_size0 = _get_node(vol, cell0)
+    cell0 = jnp.where(pos_branch[..., None], pos_to_cell(entry_pos),
+                      pos_to_cell(o))
+    av0 = accel_fetch(cell0)
+    valid0, _, node_pos0, node_size0 = node_from_accel(cell0, av0)
     # Origin-inside branch: ReverseRay is a no-op (returns the forward ray),
     # so the "backward" exit is the forward node exit, then negated + 0.01.
     fwd_exit, _ = _exit_with_axis(o, d, node_pos0, node_size0)
@@ -222,7 +185,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
     result = MarchHit.none_like(o)
     active = ok
 
-    entry_norm = _entry_face_normal(o, d, t_enter_b, ext)
+    entry_norm = _entry_face_normal(o, d, t_enter_b, ext_v)
 
     if interp:
         corners0, _ = corner_fetch(cell0)
@@ -242,11 +205,8 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
     else:
         # Cube mode tracks the face normal of the last crossing, seeded with
         # the volume-entry face normal (SH/Raytracing_Cube.hlsl:195-222).
-        raw_entry_norm = _entry_face_normal(
-            o, d, jnp.where(pos_branch, t_enter_b, t_enter), ext)
-        cur_face = raw_entry_norm
-
-    State = tuple  # (it, cell, cell_exit, active, cur_face, result)
+        cur_face = _entry_face_normal(
+            o, d, jnp.where(pos_branch, t_enter_b, t_enter), ext_v)
 
     def cond(state):
         it, _, _, act, _, _ = state
@@ -260,16 +220,15 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
 
         cell_enter = cell_exit
 
-        n = vol.n
         if interp:
-            valid = jnp.all((cell >= 0) & (cell + 1 < n), axis=-1)
+            valid = is_valid_cell(cell)
             # fused single gather: corners + packed accel
             v8, av = corner_fetch(cell)
-            node_valid, has_surf, node_pos, node_size = _node_from_accel(
-                vol, cell, av)
+            _, has_surf, node_pos, node_size = node_from_accel(cell, av)
         else:
-            valid = jnp.all((cell >= 0) & (cell < n), axis=-1)  # voxel-valid
-            node_valid, has_surf, node_pos, node_size = _get_node(vol, cell)
+            valid = is_valid_voxel(cell)
+            av = accel_fetch(cell)
+            _, has_surf, node_pos, node_size = node_from_accel(cell, av)
 
         if debug_overlay:
             # SHADER_DEBUG: unlit red hit on octree-node borders
@@ -286,12 +245,12 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
 
         exit_t, exit_ax = _exit_with_axis(o, d, node_pos, node_size)
         new_exit = exit_t + 0.1
-        next_cell = _pos_to_cell(vol, o + d * new_exit[..., None])
+        next_cell = pos_to_cell(o + d * new_exit[..., None])
 
         if interp:
             p_in = o + d * cell_enter[..., None]
             p_out = o + d * new_exit[..., None]
-            cell_base = cell.astype(jnp.float32) * vol.cell_size - ext
+            cell_base = cell.astype(jnp.float32) * h_v - ext_v
             a1 = (p_in - cell_base) / node_size[..., None]
             b1 = (p_out - cell_base) / node_size[..., None] - a1
             A, B, C, D = iso.cubic_coefficients(v8, a1, b1)
@@ -309,7 +268,7 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
                 face_normal=res.face_normal)
             stopped = rep
         else:
-            dens = fetch(cell)
+            dens = voxel_fetch(cell)
             rep = act2 & valid & (dens <= 0.0)
             acc = rep & (cell_enter >= 0.0) & (cell_enter <= t_max)
             res = MarchHit(
@@ -344,3 +303,127 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
                               jnp.asarray([1.0, 0.0, 0.0]),
                               result.face_normal))
     return result
+
+
+def _make_corner_fetch(vol: DeviceVolume, fetch):
+    """Per-cell fused fetch: (8 corner values, packed accel value) from ONE
+    contiguous 9-float gather when the packed layout is present, else 8
+    scattered voxel gathers + a separate accel gather.
+    Out-of-range cells return zeros (their values are always masked)."""
+    if vol.corners is None:
+        def legacy(cell):
+            v8 = iso.gather_corners(fetch, cell)
+            av = _gather_accel(vol.accel, vol.n - 1, cell)
+            return v8, av
+
+        return legacy
+    cc = vol.corners.shape[0]
+    ch = vol.corners.shape[-1]
+    flat = vol.corners.reshape(-1, ch)
+
+    def corner_fetch(cell):
+        valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
+        ic = jnp.clip(cell, 0, cc - 1)
+        idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
+        vals = jnp.where(valid[..., None], flat[idx], 0.0)
+        if ch > 8:
+            return vals[..., :8], vals[..., 8].astype(jnp.int32)
+        return vals, _gather_accel(vol.accel, vol.n - 1, cell)
+
+    return corner_fetch
+
+
+def _get_node(vol: DeviceVolume, cell):
+    """Skip-node lookup for ``cell`` (kept for external probes/tests).
+
+    Invalid cells return the degenerate node (pos (-1,-1,-1), size 0) like
+    ``GetOctreeNode``'s fall-through (``SH/Include/Voxel.hlsli:293-495``).
+    """
+    valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
+    av = _gather_accel(vol.accel, vol.n - 1, cell)
+    has_surface = (av & 1) == 1
+    if vol.accel_mode == "chebyshev":
+        dd = av >> 1
+        half = jnp.maximum(dd - 1, 0)
+        origin_idx = cell - half[..., None]
+        node_size = (2.0 * half.astype(jnp.float32) + 1.0) * vol.cell_size
+    else:
+        level = av >> 1
+        origin_idx = (cell >> level[..., None]) << level[..., None]
+        node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
+    node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
+    node_pos = jnp.where(valid[..., None], node_pos, -1.0)
+    node_size = jnp.where(valid, node_size, 0.0)
+    return valid, has_surface, node_pos, node_size
+
+
+@partial(jax.jit, static_argnames=("interp", "debug_overlay"))
+def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
+                 debug_overlay: bool = False) -> MarchHit:
+    """March rays (object space) through one volume.
+
+    o, d: f32 [R,3]; t_max: f32 [R] (DXR TMax / closest-so-far).
+    ``interp=True`` is the isosurface mode, ``False`` the cube mode.
+    Traversal is non-differentiable by construction (callers resolve
+    differentiable quantities afterwards, see ``vrt.march.resolve``).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    vol = jax.lax.stop_gradient(vol)
+    fetch = iso.make_fetch(vol.sdf, vol.n)
+    corner_fetch = _make_corner_fetch(vol, fetch)
+    accel_fetch = lambda cell: _gather_accel(vol.accel, vol.n - 1, cell)
+    return _march_core(corner_fetch, fetch, accel_fetch, vol.n,
+                       vol.cell_size, vol.extends, vol.accel_mode,
+                       o, d, t_max, interp, debug_overlay)
+
+
+def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
+                interp: bool = True, debug_overlay: bool = False) -> MarchHit:
+    """March lanes against per-lane volumes from a stacked DeviceVolume.
+
+    ``vols`` is stacked over a leading V axis; ``vol_ids`` [L] selects a
+    volume per lane.  One while_loop covers every (ray, instance) pair —
+    the fused scene traversal.
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    vols = jax.lax.stop_gradient(vols)
+
+    n_l = vols.n[vol_ids]
+    h_l = vols.cell_size[vol_ids]
+    ext_l = vols.extends[vol_ids]
+
+    fetch = iso.make_stacked_fetch(vols.sdf, n_l, vol_ids)
+
+    cc = vols.accel.shape[1]
+    accel_flat = vols.accel.reshape(-1)
+
+    def accel_fetch(cell):
+        valid = jnp.all((cell >= 0) & (cell < (n_l - 1)[..., None]), axis=-1)
+        ic = jnp.clip(cell, 0, cc - 1)
+        flat = (vol_ids * (cc * cc * cc)
+                + (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2])
+        return jnp.where(valid, jnp.take(accel_flat, flat, axis=0), 0)
+
+    if vols.corners is not None:
+        ccc = vols.corners.shape[1]
+        ch = vols.corners.shape[-1]
+        corners_flat = vols.corners.reshape(-1, ch)
+
+        def corner_fetch(cell):
+            valid = jnp.all((cell >= 0) & (cell + 1 < n_l[..., None]),
+                            axis=-1)
+            ic = jnp.clip(cell, 0, ccc - 1)
+            idx = (vol_ids * (ccc * ccc * ccc)
+                   + (ic[..., 0] * ccc + ic[..., 1]) * ccc + ic[..., 2])
+            vals = jnp.where(valid[..., None], corners_flat[idx], 0.0)
+            if ch > 8:
+                return vals[..., :8], vals[..., 8].astype(jnp.int32)
+            return vals, accel_fetch(cell)
+    else:
+        def corner_fetch(cell):
+            return iso.gather_corners(fetch, cell), accel_fetch(cell)
+
+    return _march_core(corner_fetch, fetch, accel_fetch, n_l, h_l, ext_l,
+                       vols.accel_mode, o, d, t_max, interp, debug_overlay)

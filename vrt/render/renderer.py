@@ -76,30 +76,49 @@ def _object_normal_to_world(rot, scale, n_obj):
 
 def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
                 debug_overlay: bool = False):
-    """Closest hit across all active instances.
+    """Closest hit across all active instances — the TLAS equivalent.
+
+    Instances are FUSED into the lane dimension: one while_loop marches all
+    (ray, instance) pairs concurrently (lanes = I*R), the way DXR overlaps
+    candidate-instance traversal, instead of I sequential loops.  Inactive
+    instances' lanes get t_max = -inf and retire at the slab test.
 
     Returns (hit: MarchHit (object-space brackets of the winning instance),
     inst: i32 [R] winning instance id, -1 when none).
     """
-    best = MarchHit.none_like(o_w)
-    best_inst = o_w[:, 0].astype(jnp.int32) * 0 - 1
+    from vrt.march.march import march_lanes
 
-    def step(carry, i):
-        best, best_inst = carry
-        vi = scene.inst_volume[i]
-        vol = jax.tree.map(lambda x: x[vi], scene.volumes)
-        o, d = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
-                                scene.inst_scale[i], o_w, d_w)
-        h = march_volume(vol, o, d, t_max, interp=interp,
-                         debug_overlay=debug_overlay)
-        better = scene.inst_active[i] & h.hit & (h.t < best.t)
-        best = h.select(better, best)
-        best_inst = jnp.where(better, i, best_inst)
-        return (best, best_inst), None
+    n_inst = scene.num_instances
+    r = o_w.shape[0]
 
-    (best, best_inst), _ = jax.lax.scan(
-        step, (best, best_inst), jnp.arange(scene.num_instances))
-    return best, best_inst
+    qi = vq.conjugate(scene.inst_rot)[:, None, :]            # [I,1,4]
+    o_obj = vq.rotate(qi, (o_w[None] - scene.inst_pos[:, None])
+                      / scene.inst_scale[:, None])           # [I,R,3]
+    d_obj = vq.rotate(qi, d_w[None] / scene.inst_scale[:, None])
+
+    vol_ids = jnp.repeat(scene.inst_volume, r)               # [I*R]
+    t_l = jnp.tile(t_max, n_inst)
+    t_l = jnp.where(jnp.repeat(scene.inst_active, r), t_l, -jnp.inf)
+
+    h = march_lanes(scene.volumes, vol_ids, o_obj.reshape(-1, 3),
+                    d_obj.reshape(-1, 3), t_l, interp=interp,
+                    debug_overlay=debug_overlay)
+
+    # closest-hit reduction across instances (first index wins ties, like
+    # the sequential strictly-closer scan)
+    hit_i = h.hit.reshape(n_inst, r)
+    t_i = jnp.where(hit_i, h.t.reshape(n_inst, r), jnp.inf)
+    best = jnp.argmin(t_i, axis=0)                           # [R]
+
+    def sel(x):
+        xi = x.reshape((n_inst, r) + x.shape[1:])
+        idx = best.reshape((1, r) + (1,) * (x.ndim - 1))
+        return jnp.take_along_axis(xi, idx, axis=0)[0]
+
+    best_hit = jax.tree.map(sel, h)
+    any_hit = hit_i.any(axis=0)
+    best_inst = jnp.where(any_hit, best, -1)
+    return best_hit, best_inst
 
 
 def _per_ray_instance(scene: GPUScene, inst):
