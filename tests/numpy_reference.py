@@ -306,3 +306,93 @@ def intersect_volume(vol, o, d, t_max=10000.0):
         return dict(kind="exhausted", t=10.0, cell=None,
                     normal=np.array([1.0, 0.0, 0.0]))
     return None
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline shading (VRClosestHit NoTex-lit subset + raygen/tonemap)
+# ---------------------------------------------------------------------------
+
+REF_PI = 3.141592
+F0_DIEL = 0.04
+
+
+def _quat_rotate(q, v):
+    qv = np.asarray(q[:3])
+    qw = q[3]
+    t = 2.0 * np.cross(qv, v)
+    return v + qw * t + np.cross(qv, t)
+
+
+def camera_ray(px, py, w, h, cam_pos, cam_rot, fov_deg):
+    """GenerateCameraRay composed with LookToRH/PerspectiveFovRH."""
+    aspect = w / h
+    y_scale = 1.0 / np.tan(np.deg2rad(fov_deg) / 2)
+    x_scale = y_scale / aspect
+    fwd = _quat_rotate(cam_rot, np.array([1.0, 0, 0]))
+    up = _quat_rotate(cam_rot, np.array([0.0, 0, 1.0]))
+    zaxis = -fwd / np.linalg.norm(fwd)
+    xaxis = np.cross(up, zaxis)
+    xaxis /= np.linalg.norm(xaxis)
+    yaxis = np.cross(zaxis, xaxis)
+    sx = (px + 0.5) / w * 2 - 1
+    sy = (py + 0.5) / h * 2 - 1
+    d = (sx / x_scale) * xaxis - (sy / y_scale) * yaxis - zaxis
+    return np.asarray(cam_pos, np.float64), d
+
+
+def cook_torrance(li, wi, wo, n, albedo, roughness, metallic, k):
+    h = wi + wo
+    h = h / np.linalg.norm(h)
+    a2 = roughness * roughness
+    ndoth = max(np.dot(n, h), 0.0)
+    c = ndoth * ndoth * (a2 - 1) + 1
+    d = a2 / max(REF_PI * c * c, 0.001)
+    f0 = F0_DIEL * (1 - metallic) + np.asarray(albedo) * metallic
+    wdoth = max(np.dot(wo, h), 0.0)
+    f = f0 + (1 - f0) * max(1 - wdoth, 0.0) ** 5
+    def gs(x):
+        return x / (x * (1 - k) + k)
+    g = gs(max(np.dot(n, wo), 0.0)) * gs(max(np.dot(n, wi), 0.0))
+    lambert = np.asarray(albedo) / REF_PI
+    denom = max(4 * max(np.dot(wo, n), 0.0) * max(np.dot(wi, n), 0.0), 1e-4)
+    cook = d * g / denom * f
+    kd = (1 - f) * (1 - metallic)
+    return (lambert * kd + cook * f) * np.asarray(li) * np.dot(n, wi)
+
+
+def render_notex_lit(vol, width, height, cam_pos, cam_rot, fov,
+                     light_dir, light_strength, albedo, roughness,
+                     metallic, env_color):
+    """Scalar re-derivation of the NoTex-lit pipeline for one volume at the
+    origin: primary march, dir-light shadow march, Cook-Torrance, Reinhard
+    tonemap with UNORM clamp.  Materials with roughness >= 0.3 only (no
+    reflection bounce)."""
+    k = (roughness + 1) ** 2 / 8
+    img = np.zeros((height, width, 3), np.float32)
+    for py in range(height):
+        for px in range(width):
+            o, d = camera_ray(px, py, width, height, cam_pos, cam_rot, fov)
+            hit = intersect_volume(vol, o, d)
+            if hit is None:
+                rgb = np.asarray(env_color, np.float64)
+            elif hit["kind"] == "exhausted":
+                rgb = np.array([1.0, 0, 0])
+            else:
+                hp = o + hit["t"] * d
+                so = hp - d * 0.1
+                sh = intersect_volume(vol, so, np.asarray(light_dir,
+                                                          np.float64),
+                                      t_max=5000.0)
+                rgb = np.zeros(3)
+                n = hit["normal"]
+                if sh is None:
+                    li = np.full(3, light_strength)
+                    rgb = rgb + cook_torrance(li, np.asarray(light_dir),
+                                              -d, n, albedo, roughness,
+                                              metallic, k)
+            c = rgb / (rgb + 1.0)
+            with np.errstate(all="ignore"):
+                c = np.power(c, 1 / 2.2)
+            c = np.clip(np.nan_to_num(c, nan=0.0), 0.0, 1.0)
+            img[py, px] = c
+    return img

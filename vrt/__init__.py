@@ -30,20 +30,5 @@ Layering (mirrors the reference's module map, see SURVEY.md section 1):
 
 __version__ = "0.1.0"
 
-import os as _os
-
-import jax as _jax
-
-# The environment's TPU sitecustomize pins the platform at interpreter start,
-# which silently overrides the standard JAX_PLATFORMS env var.  Restore env
-# semantics: an explicit JAX_PLATFORMS wins (works as long as no backend has
-# been initialized before vrt is imported).
-_plat = _os.environ.get("JAX_PLATFORMS")
-if _plat:
-    try:
-        _jax.config.update("jax_platforms", _plat)
-    except Exception:
-        pass
-
 from vrt.core.grid import GridLaw  # noqa: F401
 from vrt.volume.volume import VoxelVolume  # noqa: F401

@@ -115,6 +115,9 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from vrt.core.platform import apply_platform_env
+    apply_platform_env()
+
     results = []
     if 1 in args.configs:
         bench_forward(5, 256, 256, "config1 64^3-class 256x256 fwd",

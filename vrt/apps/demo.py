@@ -132,6 +132,9 @@ def main(argv=None):
     ap.add_argument("--save-every", type=int, default=1)
     args = ap.parse_args(argv)
 
+    from vrt.core.platform import apply_platform_env
+    apply_platform_env()
+
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     inst = DemoInstance(args.scene, args.out, args.save_every)

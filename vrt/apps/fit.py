@@ -48,6 +48,9 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="save fitted renders as PNG")
     args = ap.parse_args(argv)
 
+    from vrt.core.platform import apply_platform_env
+    apply_platform_env()
+
     import jax.numpy as jnp
 
     # target: box-with-hole CSG, colored

@@ -38,6 +38,9 @@ def main(argv=None):
                     help="render N frames orbiting the scene")
     args = ap.parse_args(argv)
 
+    from vrt.core.platform import apply_platform_env
+    apply_platform_env()
+
     if args.scene:
         from vrt.io.voxfile import load_scene
         scene = load_scene(args.scene)

@@ -103,6 +103,9 @@ def main(argv=None):
     ap.add_argument("texlib", nargs="?", default=None)
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
+
+    from vrt.core.platform import apply_platform_env
+    apply_platform_env()
     convert(args.gltf, args.texlib, args.out)
 
 

@@ -38,6 +38,17 @@ def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
     vols = scene.volumes
     if "sdf" in params:
         vols = dataclasses.replace(vols, sdf=params["sdf"])
+        if vols.corners is not None:
+            # re-pack differentiably so resolve-phase corner gathers keep
+            # their gradient connection to the new SDF (the packed accel
+            # channel reuses the current field; call rebuild_accel when the
+            # traversal topology itself must track the update)
+            from vrt.march.types import pack_cell_corners
+
+            accel_ch = vols.corners[..., 8].astype(jnp.int32)
+            vols = dataclasses.replace(
+                vols, corners=jax.vmap(pack_cell_corners)(
+                    params["sdf"], accel_ch))
     scene = dataclasses.replace(scene, volumes=vols)
     direct = {k: v for k, v in params.items()
               if k not in ("sdf",) and hasattr(scene, k)}
