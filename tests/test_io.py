@@ -172,3 +172,33 @@ class TestImages:
         os.unlink(path)
         assert raw.startswith(b"P6\n4 3\n255\n")
         assert len(raw) == len(b"P6\n4 3\n255\n") + 36
+
+
+class TestDDS:
+    def _write_uncompressed_cube(self, path, edge, colors):
+        import struct
+        # minimal DDS header: uncompressed 32-bit BGRA cubemap, 1 mip
+        flags = 0x1 | 0x2 | 0x4 | 0x1000
+        header = struct.pack("<4sIIIIIII44x", b"DDS ", 124, flags, edge,
+                             edge, edge * 4, 0, 1)
+        pf = struct.pack("<IIIIIIII", 32, 0x41, 0, 32,
+                         0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+        caps = struct.pack("<IIIII", 0x1000 | 0x8, 0x200 | 0xFE00, 0, 0, 0)
+        with open(path, "wb") as f:
+            f.write(header + pf + caps)
+            for face in range(6):
+                r, g, b = colors[face]
+                texel = bytes([b, g, r, 255]) * (edge * edge)
+                f.write(texel)
+
+    def test_cubemap_roundtrip(self):
+        from vrt.io.image import read_dds_cubemap
+        colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+                  (255, 255, 0), (0, 255, 255), (255, 0, 255)]
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "sky.dds")
+            self._write_uncompressed_cube(path, 4, colors)
+            env = read_dds_cubemap(path)
+        assert env.shape == (6, 4, 4, 3)
+        for f, (r, g, b) in enumerate(colors):
+            assert np.allclose(env[f, 0, 0] * 255, (r, g, b), atol=1)

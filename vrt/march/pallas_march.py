@@ -240,6 +240,7 @@ def march_volume_pallas(vol: DeviceVolume, o, d, t_max,
     from jax.experimental.pallas import tpu as pltpu
 
     assert vol.corners is not None, "pallas march needs the packed layout"
+    assert vol.accel_mode == "octree", "pallas march: octree accel only"
     o = jax.lax.stop_gradient(jnp.asarray(o, jnp.float32))
     d = jax.lax.stop_gradient(jnp.asarray(d, jnp.float32))
     t_max = jnp.asarray(t_max, jnp.float32)
