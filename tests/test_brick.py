@@ -148,3 +148,121 @@ class TestHaloExchange:
                 np.testing.assert_array_equal(
                     sdf[s, span - HALO:],
                     own[s + 1, HALO:2 * HALO])
+
+
+class TestSlabFit:
+    def test_model_parallel_fit_reduces_loss(self):
+        import optax
+        from vrt.dist.brick_fit import make_slab_fit_step
+        from vrt.core import quat as vq
+
+        target_vol = _volume()
+        slabs_t = shard_volume(target_vol, 4)
+        mesh = make_render_mesh(1, 4)
+
+        # rays: a small front-facing pixel grid
+        from vrt.render.camera import camera_rays
+        o, d = camera_rays(jnp.asarray([300.0, 0.0, 0.0]),
+                           jnp.asarray(vq.from_euler_degrees(0.0, 180.0, 0.0)),
+                           jnp.asarray(60.0), 16, 16)
+        light = np.asarray(vq.forward_vector(
+            vq.from_euler_degrees(0.0, 45.0, -30.0)), np.float32)
+
+        optimizer = optax.adam(0.1)
+        step = make_slab_fit_step(mesh, optimizer, light)
+
+        # target image from the true SDF
+        import dataclasses as dc
+        dummy_state = optimizer.init(slabs_t.sdf)
+        # render target by "fitting" 0 steps: reuse the loss fn via a
+        # direct forward pass with zero targets to get img? simpler: use the
+        # step loss against zero targets as a consistency check and fit the
+        # perturbed volume toward the true volume's image.
+        from vrt.dist.brick_fit import _shade_lambertish
+        from vrt.dist.brick import march_volume_slab, combine_hits, resolve_slab_hits
+        from vrt.render.renderer import tonemap
+        from jax.sharding import PartitionSpec as P
+        from functools import partial
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("model"), P(), P()),
+                 out_specs=P())
+        def forward(slabs, o, d):
+            s = jax.tree.map(lambda x: x[0], slabs)
+            hit = march_volume_slab(s, o, d, jnp.full(o.shape[0], 1e4))
+            hit_c = combine_hits(hit, "model")
+            owned = (hit_c.hit & (hit_c.cell[:, 0] >= s.cell_lo)
+                     & (hit_c.cell[:, 0] < s.cell_hi))
+            t, n_obj, _ = resolve_slab_hits(s, o, d, hit_c)
+            size = jax.lax.axis_size("model")
+            t_g = jax.lax.psum(jnp.where(owned, t, 0.0), "model")
+            n_g = jax.lax.psum(jnp.where(owned[..., None], n_obj, 0.0),
+                               "model")
+            rgb = _shade_lambertish(hit_c.hit, t_g, n_g, o, d,
+                                    jnp.asarray(light), 4.0,
+                                    jnp.asarray([0.8, 0.5, 0.3]),
+                                    jnp.asarray([0.2, 0.3, 0.5]))
+            img = tonemap(rgb)
+            return jax.lax.psum(img / size, "model")
+
+        targets = jax.jit(forward)(slabs_t, o, d)
+
+        # start: perturbed volume
+        rng = np.random.default_rng(0)
+        pert = target_vol.sdf + rng.normal(
+            scale=1.5, size=target_vol.sdf.shape).astype(np.float32)
+        start_vol = VoxelVolume(target_vol.resolution, target_vol.extends,
+                                sdf=pert)
+        slabs = shard_volume(start_vol, 4)
+        params = slabs.sdf
+        opt_state = optimizer.init(params)
+
+        losses = []
+        start_sdf = np.asarray(start_vol.sdf)
+        for epoch in range(4):
+            for _ in range(10):
+                params, opt_state, loss = step(params, opt_state, slabs, o,
+                                               d, targets)
+                losses.append(float(loss))
+            # epoch resync: gather owned planes to the host, rebuild the
+            # (stale) accel topology, reshard (the documented workflow)
+            planes = np.asarray(params)
+            full = start_sdf.copy()
+            span = planes.shape[1]
+            for si in range(4):
+                x0 = int(slabs.x_voxel0[si])
+                lo, hi = int(slabs.cell_lo[si]), int(slabs.cell_hi[si]) + 1
+                full[lo:hi] = planes[si, lo - x0:hi - x0]
+            vol_now = VoxelVolume(target_vol.resolution, target_vol.extends,
+                                  sdf=full)
+            slabs = shard_volume(vol_now, 4)
+            params = slabs.sdf
+        assert np.isfinite(losses).all()
+        assert min(losses) < 0.4 * losses[0], losses[::10]
+        assert losses[-1] < 0.6 * losses[0], losses[::10]
+
+    def test_boundary_gradients_flow_through_halos(self):
+        # gradients must reach owned planes that neighbors consume as halos
+        import optax
+        from vrt.dist.brick_fit import make_slab_fit_step
+        from vrt.core import quat as vq
+        from vrt.render.camera import camera_rays
+
+        vol = _volume()
+        slabs = shard_volume(vol, 4)
+        mesh = make_render_mesh(1, 4)
+        o, d = camera_rays(jnp.asarray([300.0, 0.0, 0.0]),
+                           jnp.asarray(vq.from_euler_degrees(0.0, 180.0, 0.0)),
+                           jnp.asarray(60.0), 12, 12)
+        light = np.asarray(vq.forward_vector(
+            vq.from_euler_degrees(0.0, 45.0, -30.0)), np.float32)
+        optimizer = optax.sgd(1e-2)
+        step = make_slab_fit_step(mesh, optimizer, light)
+        params0 = slabs.sdf
+        state = optimizer.init(params0)
+        params1, _, loss = step(params0, state, slabs, o, d,
+                                jnp.zeros((144, 3)))
+        delta = np.abs(np.asarray(params1 - params0))
+        assert np.isfinite(float(loss))
+        # updates on several shards (the sphere spans multiple slabs)
+        moved_per_shard = delta.reshape(4, -1).max(axis=1)
+        assert (moved_per_shard > 0).sum() >= 2, moved_per_shard

@@ -365,7 +365,13 @@ def tonemap(rgb):
     pow with a negative base exactly as in HLSL; the UNORM conversion is
     what makes those pixels black on screen."""
     c = rgb / (rgb + 1.0)
-    out = jnp.power(c, 1.0 / 2.2)
+    # gradient-safe power: pow'(0) is +inf and 0-cotangent * inf = NaN, so
+    # both where-branches must be finite-differentiable.  Values unchanged:
+    # c > 0 -> c^(1/2.2); c == 0 -> 0; c < 0 -> NaN (flushed by the UNORM
+    # conversion below, as the reference's render target does).
+    pos = c > 0
+    out = jnp.where(pos, jnp.power(jnp.where(pos, c, 1.0), 1.0 / 2.2),
+                    jnp.where(c < 0, jnp.nan, 0.0))
     return jnp.clip(jnp.nan_to_num(out, nan=0.0, posinf=1.0, neginf=0.0),
                     0.0, 1.0)
 
