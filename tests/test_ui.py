@@ -68,3 +68,25 @@ class TestDemoKeyToggles:
         inst.window.tick(0.016)
         assert engine.render_mode == RenderMode(interp=True, textured=True,
                                                 lit=False)
+
+
+class TestFlyCamera:
+    def test_wasd_and_mouse_look(self):
+        from vrt.apps.demo import DemoInstance
+        from vrt.engine.engine import Engine
+
+        inst = DemoInstance()
+        engine = Engine(inst, width=8, height=8)
+        inst.on_engine_initialized(engine)
+        cam = engine.scene.active_camera
+        x0 = cam.position[0]
+
+        inst.window.inject_key_press(Key.W)
+        inst.on_engine_update(engine, 0.1)   # held W moves along forward(-x)
+        inst.window.inject_key_release(Key.W)
+        assert cam.position[0] < x0
+
+        rot0 = cam.rotation.copy()
+        inst.window.inject_axis("MouseX", 50.0)
+        inst.on_engine_update(engine, 0.016)
+        assert not np.allclose(cam.rotation, rot0)

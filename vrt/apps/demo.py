@@ -69,8 +69,13 @@ class DemoInstance(EngineInstance):
         from vrt.ui import new_window
 
         self._engine = engine
+        self._dt = 1.0 / 60.0
+        self._yaw = 180.0
+        self._pitch = 0.0
         self.window = new_window(width=engine.width, height=engine.height)
         self.window.events.on_key_pressed.append(self._on_key)
+        self.window.events.on_key_down.append(self._on_key_held)
+        self.window.events.on_axis_input.append(self._on_axis)
         if self.scene_path:
             from vrt.io.voxfile import load_scene
             scene = load_scene(self.scene_path)
@@ -98,7 +103,44 @@ class DemoInstance(EngineInstance):
             volume=blue, position=np.asarray([0.0, 150.0, 0.0], np.float32)))
         engine.set_scene(scene)
 
+    def _on_key_held(self, key) -> None:
+        from vrt.ui import Key
+
+        # WASD fly camera (RendererEngineInstance input bindings :133-209)
+        cam = self._engine.scene.active_camera if self._engine and             self._engine.scene else None
+        if cam is None:
+            return
+        speed = 200.0 * self._dt
+        fwd = np.asarray(vq.forward_vector(np.asarray(cam.rotation)))
+        right = np.asarray(vq.right_vector(np.asarray(cam.rotation)))
+        up = np.asarray([0.0, 0.0, 1.0], np.float32)
+        if key == Key.W:
+            cam.position = cam.position + fwd * speed
+        elif key == Key.S:
+            cam.position = cam.position - fwd * speed
+        elif key == Key.A:
+            cam.position = cam.position - right * speed
+        elif key == Key.D:
+            cam.position = cam.position + right * speed
+        elif key == Key.Q:
+            cam.position = cam.position + up * speed
+        elif key == Key.E:
+            cam.position = cam.position - up * speed
+
+    def _on_axis(self, axis: str, value: float) -> None:
+        # mouse-look: yaw/pitch deltas (raw-input axis events)
+        cam = self._engine.scene.active_camera if self._engine and             self._engine.scene else None
+        if cam is None:
+            return
+        if axis == "MouseX":
+            self._yaw = (self._yaw + value * 0.2) % 360.0
+        elif axis == "MouseY":
+            self._pitch = float(np.clip(self._pitch - value * 0.2, -89, 89))
+        cam.rotation = np.asarray(
+            vq.from_euler_degrees(0.0, self._yaw, self._pitch))
+
     def on_engine_update(self, engine: Engine, dt: float) -> None:
+        self._dt = dt
         if self.window is not None:
             self.window.tick(dt)
         # orbit the spheres at 10 deg/s and 50 deg/s (:111-130)
