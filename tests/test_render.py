@@ -354,3 +354,31 @@ class TestSortedRender:
         img2 = np.asarray(render_image(scene, 19, 17, RenderMode(),
                                        chunk_size=64, sort_rays=True))
         np.testing.assert_allclose(img1, img2, atol=1e-6)
+
+
+class TestIncrementalSync:
+    def test_constants_update_without_volume_reupload(self):
+        scene = Scene()
+        vol = VoxelVolume.from_generator(S.Sphere(radius=50.0), 4, 100.0)
+        obj = scene.spawn(VoxelObject(volume=vol))
+        scene.spawn(Camera(position=np.asarray([300.0, 0, 0], np.float32),
+                           rotation=np.asarray(
+                               vq.from_euler_degrees(0.0, 180.0, 0.0))))
+        scene.spawn(DirectionalLight(strength=5.0))
+        vol.clear_dirty()
+
+        gpu1 = scene.sync_gpu(None)
+        obj.position = np.asarray([0.0, 60.0, 0.0], np.float32)
+        gpu2 = scene.sync_gpu(gpu1)
+        # volumes were NOT rebuilt (same device buffers)...
+        assert gpu2.volumes.sdf is gpu1.volumes.sdf
+        # ...but transforms updated
+        assert np.allclose(np.asarray(gpu2.inst_pos[0]), [0, 60, 0])
+        img1 = np.asarray(render_image(gpu1, 16, 16, RenderMode()))
+        img2 = np.asarray(render_image(gpu2, 16, 16, RenderMode()))
+        assert not np.allclose(img1, img2)
+
+        # dirty volume -> full rebuild
+        vol.set_voxel((8, 8, 8), -3.0)
+        gpu3 = scene.sync_gpu(gpu2)
+        assert gpu3.volumes.sdf is not gpu2.volumes.sdf

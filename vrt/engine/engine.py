@@ -95,14 +95,12 @@ class Engine:
         self._running = False
 
     def render_frame(self) -> np.ndarray:
-        """One frame: sync dirty scene state to device, render, readback."""
-        if self._needs_sync or any(v.dirty for v in self.scene.volumes):
-            self._gpu_scene = self.scene.to_gpu()
+        """One frame: incremental device sync (volumes re-upload only when
+        dirty; per-frame constants replaced in place), render, readback."""
+        if self._needs_sync:
+            self._gpu_scene = None
             self._needs_sync = False
-        else:
-            # cheap per-frame constants update (camera/lights/transforms)
-            self._gpu_scene = self.scene.to_gpu(
-                pad_volumes_to=self._gpu_scene.volumes.sdf.shape[1])
+        self._gpu_scene = self.scene.sync_gpu(self._gpu_scene)
         img = render_image(self._gpu_scene, self.width, self.height,
                            self.render_mode)
         self.last_frame = np.asarray(img)

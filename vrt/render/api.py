@@ -53,15 +53,9 @@ class Renderer:
         self.height = height
 
     def render(self) -> np.ndarray:
-        """One frame; syncs dirty scene state to the device first
-        (the ``SyncWithScene`` step)."""
+        """One frame; incremental ``SyncWithScene`` then dispatch."""
         assert self._active and self._scene is not None
-        if self._gpu_scene is None or any(v.dirty
-                                          for v in self._scene.volumes):
-            self._gpu_scene = self._scene.to_gpu()
-        else:
-            self._gpu_scene = self._scene.to_gpu(
-                pad_volumes_to=self._gpu_scene.volumes.sdf.shape[1])
+        self._gpu_scene = self._scene.sync_gpu(self._gpu_scene)
         return np.asarray(render_image(self._gpu_scene, self.width,
                                        self.height, self.mode))
 

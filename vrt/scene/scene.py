@@ -139,6 +139,48 @@ class Scene:
             v.clear_dirty()
 
     # -- device sync -------------------------------------------------------
+    def sync_gpu(self, cached=None):
+        """Incremental device sync (``VRDXScene::SyncWithScene``): when no
+        volume is dirty and the volume set is unchanged, only the per-frame
+        constants (instance transforms, camera, lights) are replaced on the
+        cached device scene — volumes/accels/textures are not re-uploaded.
+        """
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        vols = self.volumes
+        ids = tuple(id(v) for v in vols)
+        if (cached is None or any(v.dirty for v in vols)
+                or getattr(cached, "_vrt_volume_ids", None) != ids
+                or cached.num_instances != len(self.voxel_objects)):
+            gpu = self.to_gpu()
+            object.__setattr__(gpu, "_vrt_volume_ids", ids)
+            return gpu
+
+        vol_index = {id(v): i for i, v in enumerate(vols)}
+        objs = self.voxel_objects
+        ipos = np.stack([np.asarray(o.position, np.float32) for o in objs])
+        irot = np.stack([np.asarray(o.rotation, np.float32) for o in objs])
+        iscl = np.stack([np.asarray(o.scale, np.float32) for o in objs])
+        ivol = np.asarray([vol_index[id(o.volume)] for o in objs], np.int32)
+        cam = self.active_camera or Camera()
+        dl = self.active_directional_light
+        updates = dict(
+            inst_pos=jnp.asarray(ipos), inst_rot=jnp.asarray(irot),
+            inst_scale=jnp.asarray(iscl), inst_volume=jnp.asarray(ivol),
+            cam_pos=jnp.asarray(np.asarray(cam.position, np.float32)),
+            cam_rot=jnp.asarray(np.asarray(cam.rotation, np.float32)),
+            cam_fov=jnp.asarray(np.float32(cam.fov)))
+        if dl is not None:
+            updates["dir_light_dir"] = jnp.asarray(
+                np.asarray(dl.direction, np.float32))
+            updates["dir_light_strength"] = jnp.asarray(
+                np.float32(dl.strength))
+        gpu = dataclasses.replace(cached, **updates)
+        object.__setattr__(gpu, "_vrt_volume_ids", ids)
+        return gpu
+
     def to_gpu(self, pad_volumes_to: Optional[int] = None):
         """Assemble the device scene pytree (``GPUScene``), loading any
         material-referenced textures into the atlas (the DX backend's
