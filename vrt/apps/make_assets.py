@@ -1,0 +1,86 @@
+"""Generate demo assets (the repo ships no Monkey.vox — build our own).
+
+``python -m vrt.apps.make_assets [-o assets/]`` produces:
+
+- ``torus.vox``: a parametric torus mesh voxelized through the full
+  glTF-equivalent path (triangle 7-region distance shell) at resolution 6,
+  demonstrating the voxelizer on curved geometry,
+- ``checker.png``: an albedo texture for triplanar sampling demos.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from vrt.core.material import Material
+from vrt.io.image import write_png
+from vrt.io.voxelize import voxelize_mesh_native
+from vrt.io.voxfile import save_scene
+from vrt.scene.scene import DirectionalLight, Scene, VoxelObject
+from vrt.core import quat as vq
+
+
+def torus_mesh(major=60.0, minor=25.0, nu=48, nv=24):
+    """Parametric torus triangulation (counter-clockwise outward)."""
+    us = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vs = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    verts = []
+    for u in us:
+        for v in vs:
+            x = (major + minor * np.cos(v)) * np.cos(u)
+            y = (major + minor * np.cos(v)) * np.sin(u)
+            z = minor * np.sin(v)
+            verts.append((x, y, z))
+    verts = np.asarray(verts, np.float64)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces += [a, b, c, a, c, d]
+    return verts, np.asarray(faces, np.int64)
+
+
+def checker_texture(size=64, c0=(220, 60, 40), c1=(240, 220, 200)):
+    img = np.zeros((size, size, 3), np.uint8)
+    t = size // 8
+    for y in range(size):
+        for x in range(size):
+            img[y, x] = c0 if ((x // t) + (y // t)) % 2 == 0 else c1
+    return img
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--out", default="assets")
+    ap.add_argument("--resolution", type=int, default=6)
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    tex_path = os.path.join(args.out, "checker.png")
+    write_png(tex_path, checker_texture())
+    print(f"wrote {tex_path}")
+
+    verts, faces = torus_mesh()
+    vol = voxelize_mesh_native(
+        verts, faces, resolution=args.resolution,
+        material=Material(albedo=(0.9, 0.6, 0.2, 1.0), roughness=0.5,
+                          metallic=0.1))
+    scene = Scene()
+    scene.spawn(VoxelObject(volume=vol))
+    scene.spawn(DirectionalLight(
+        rotation=np.asarray(vq.from_euler_degrees(0.0, 45.0, -30.0)),
+        strength=6.0))
+    out = os.path.join(args.out, "torus.vox")
+    save_scene(scene, out)
+    print(f"wrote {out} ({os.path.getsize(out)/1e6:.1f} MB, "
+          f"res {vol.resolution}, extends {vol.extends:.1f})")
+
+
+if __name__ == "__main__":
+    main()
