@@ -396,3 +396,48 @@ def render_notex_lit(vol, width, height, cam_pos, cam_rot, fov,
             c = np.clip(np.nan_to_num(c, nan=0.0), 0.0, 1.0)
             img[py, px] = c
     return img
+
+
+def intersect_volume_cube(vol, o, d, t_max=10000.0):
+    """Cube-mode intersection (SH/Raytracing_Cube.hlsl): voxel-level DDA;
+    hit when entering a voxel with density <= 0; normal = face normal of
+    the last crossing (seeded with the volume-entry face normal)."""
+    ext = vol.extends
+    ok, t_enter, t_exit = ray_aabb(o, d, np.full(3, -ext), np.full(3, ext),
+                                   t_max)
+    if not ok:
+        return None
+    if t_enter >= 0:
+        t_enter = t_enter + 0.01
+        cell = vol.pos_to_cell(o + d * t_enter)
+        cell_exit = t_enter
+    else:
+        cell = vol.pos_to_cell(o)
+        node_pos, size = vol.get_node(cell)
+        fwd_exit, _ = node_exit(o, d, node_pos, size)
+        cell_exit = -fwd_exit + 0.01
+
+    normal = entry_face_normal(o, d, t_enter, ext)
+
+    axes = np.eye(3)
+    for _ in range(255):
+        if cell_exit > t_exit:
+            return None
+        cell_enter = cell_exit
+        if not vol.is_valid_voxel(cell):
+            return None
+        node_pos, size = vol.get_node(cell)
+        ex, axis = node_exit(o, d, node_pos, size)
+        cell_exit = ex + 0.1
+        if vol.density(tuple(cell)) <= 0.0:
+            if 0 <= cell_enter <= t_max:
+                return dict(kind="cube", t=cell_enter, cell=tuple(cell),
+                            normal=normal)
+            return None
+        next_cell = vol.pos_to_cell(o + d * cell_exit)
+        normal = -np.sign(d[axis]) * axes[axis]
+        cell = next_cell
+    if 10.0 <= t_max:
+        return dict(kind="exhausted", t=10.0, cell=None,
+                    normal=np.array([1.0, 0, 0]))
+    return None

@@ -203,3 +203,44 @@ class TestChebyshevAccel:
         same_cell = np.all(np.asarray(h1.cell)[both]
                            == np.asarray(h2.cell)[both], axis=1)
         assert same_cell.mean() > 0.99
+
+
+class TestCubeGoldenVsNumpyReference:
+    def test_cube_random_rays(self):
+        from scipy.ndimage import gaussian_filter
+        rng = np.random.default_rng(9)
+        r = 3
+        n = (1 << r) + 1
+        sdf = gaussian_filter(rng.normal(size=(n, n, n)), 1.1).astype(
+            np.float32) * 8.0
+        vol = VoxelVolume(r, 20.0, sdf=sdf)
+        dv = DeviceVolume.from_volume(vol)
+
+        rays_o = rng.uniform(-60, 60, size=(40, 3)).astype(np.float32)
+        target = rng.uniform(-12, 12, size=(40, 3)).astype(np.float32)
+        rays_d = target - rays_o
+        rays_d /= np.linalg.norm(rays_d, axis=1, keepdims=True)
+        rays_d = rays_d.astype(np.float32)
+
+        hit = march_volume(dv, jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           jnp.full(40, 1e4, jnp.float32), interp=False)
+        from vrt.march.resolve import resolve_volume_hits
+        t, normal, _ = resolve_volume_hits(dv, jnp.asarray(rays_o),
+                                           jnp.asarray(rays_d), hit)
+
+        rvol = ref.Volume(vol.sdf, vol.resolution, vol.extends)
+        for i in range(40):
+            expect = ref.intersect_volume_cube(
+                rvol, rays_o[i].astype(np.float64),
+                rays_d[i].astype(np.float64))
+            got = bool(hit.hit[i])
+            if expect is None:
+                assert not got, f"ray {i}"
+            else:
+                assert got, f"ray {i}"
+                assert float(t[i]) == pytest.approx(expect["t"], rel=2e-3,
+                                                    abs=2e-3), f"ray {i}"
+                if expect["kind"] == "cube":
+                    assert tuple(np.asarray(hit.cell[i])) == expect["cell"], i
+                    assert np.allclose(np.asarray(normal[i]),
+                                       expect["normal"], atol=1e-5), f"ray {i}"
