@@ -135,7 +135,11 @@ class TestHaloExchange:
 
         refreshed = jax.jit(refresh)(perturbed)
 
-        # each slab's halo planes must now equal the neighbor's owned planes
+        # each slab's halo planes must now equal the neighbor's owned
+        # planes AT THE SAME GLOBAL x: slot j of shard s holds global plane
+        # x_voxel0[s] + j, so my left-halo slots [0, HALO) are the left
+        # neighbor's owned slots [span-2H-1, span-H-1) and my right-halo
+        # slots [span-H, span) its slots [H+1, 2H+1).
         sdf = np.asarray(refreshed.sdf)
         own = np.asarray(perturbed.sdf)
         span = sdf.shape[1]
@@ -143,11 +147,17 @@ class TestHaloExchange:
             if s > 0:  # left halo from the left neighbor's last owned planes
                 np.testing.assert_array_equal(
                     sdf[s, :HALO],
-                    own[s - 1, span - 2 * HALO:span - HALO])
+                    own[s - 1, span - 2 * HALO - 1:span - HALO - 1])
             if s < 3:  # right halo from the right neighbor's first owned
                 np.testing.assert_array_equal(
                     sdf[s, span - HALO:],
-                    own[s + 1, HALO:2 * HALO])
+                    own[s + 1, HALO + 1:2 * HALO + 1])
+        # global-plane correspondence: halo slot j of shard s and the
+        # neighbor slot it came from name the same global plane
+        for s in range(1, 4):
+            x0 = int(np.asarray(perturbed.x_voxel0)[s])
+            x0l = int(np.asarray(perturbed.x_voxel0)[s - 1])
+            assert x0 + 0 == x0l + (span - 2 * HALO - 1)
 
 
 class TestSlabFit:
@@ -160,11 +170,14 @@ class TestSlabFit:
         slabs_t = shard_volume(target_vol, 4)
         mesh = make_render_mesh(1, 4)
 
-        # rays: a small front-facing pixel grid
+        # rays: a front-facing pixel grid.  32x32 (not coarser): with hard
+        # visibility, a pixel whose hit/miss status flips under the
+        # perturbation has no gradient path, and at 16x16 a single stuck
+        # grazing pixel dominates the mean pixel loss.
         from vrt.render.camera import camera_rays
         o, d = camera_rays(jnp.asarray([300.0, 0.0, 0.0]),
                            jnp.asarray(vq.from_euler_degrees(0.0, 180.0, 0.0)),
-                           jnp.asarray(60.0), 16, 16)
+                           jnp.asarray(60.0), 32, 32)
         light = np.asarray(vq.forward_vector(
             vq.from_euler_degrees(0.0, 45.0, -30.0)), np.float32)
 

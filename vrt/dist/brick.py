@@ -1,0 +1,367 @@
+"""Slab-sharded voxel volumes with halo exchange — model parallelism.
+
+A volume too large (or a parameter grid too hot) to replicate is split into
+x-slabs over the mesh's 'model' axis.  Each shard stores:
+
+- its owned SDF voxel planes ``[cell_lo, cell_hi]`` plus ``HALO`` = 2 extra
+  planes per side — the cell-corner stencil needs +1 plane and the
+  central-difference normal (``GetNormal``, ``SH/Include/Voxel.hlsli:783``)
+  reads cells +-1 beyond the hit cell, so 2 voxel planes per side
+  (SURVEY.md §7 "halo correctness"),
+- the *globally built* skip-level accel field sliced to its owned cells, so
+  in-slab traversal takes exactly the replicated march's node steps.
+
+Marching: every shard marches every ray, but only reports hits inside its
+owned cells.  Out-of-slab (in-volume) space is one giant empty node spanning
+from the slab boundary outward — the ray crosses it in a single step, and
+since owned slab boundaries sit on power-of-two cell planes, the re-entry
+bracket coincides with the replicated march's aligned-block exits (interior
+hits resolve bitwise-identically; boundary-cell hits differ only in the
+sub-cell bracket start).  The closest hit across shards is an
+``all_gather`` + argmin + psum select (``combine_hits``), typed
+axis-invariant so it can leave the ``shard_map`` replicated.
+
+Halos refresh with a pair of ``ppermute`` shifts (``exchange_halos``) —
+differentiable, so the fitting path's halo reads route gradients back to
+the owning neighbor (``vrt.dist.brick_fit``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrt.core.grid import DEFAULT_DENSITY
+from vrt.march import isosurface as iso
+from vrt.march.march import (EXHAUSTED_T, MAX_ITERATIONS, _inv_dir, ray_aabb)
+from vrt.march.resolve import resolve_hits
+from vrt.march.types import (KIND_EXHAUSTED, KIND_SOLID_ENTRY, KIND_SURFACE,
+                             MarchHit)
+from vrt.volume.accel import build_accel
+from vrt.volume.volume import VoxelVolume
+
+HALO = 2  # voxel planes per side: corner stencil +1, normal stencil +2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SlabVolume:
+    """One volume sharded into x-slabs (stacked leading S axis; inside a
+    ``shard_map`` each shard peels its slice with ``tree.map(x[0])``)."""
+
+    sdf: jax.Array        # f32 [S, span, N, N]; span = cps + 1 + 2*HALO
+    accel: jax.Array      # i32 [S, cps, C, C] — global accel, owned x-cells
+    x_voxel0: jax.Array   # i32 [S] global x index of local sdf plane 0
+    cell_lo: jax.Array    # i32 [S] first owned x-cell (inclusive)
+    cell_hi: jax.Array    # i32 [S] last owned x-cell (exclusive)
+    n: jax.Array          # i32 [S] voxels per axis of the full volume
+    cell_size: jax.Array  # f32 [S]
+    extends: jax.Array    # f32 [S]
+
+
+def shard_volume(vol: VoxelVolume, n_shards: int) -> SlabVolume:
+    """Host-side slab split.  Cells per axis must divide ``n_shards``.
+
+    The accel field is built over the FULL grid first (skip blocks are
+    surface-free globally, so owned-cell skips can safely jump past slab
+    boundaries), then sliced per shard.
+    """
+    n = vol.n_voxels
+    cells = n - 1
+    assert cells % n_shards == 0, (cells, n_shards)
+    cps = cells // n_shards
+    span = cps + 1 + 2 * HALO
+
+    accel_full = np.asarray(build_accel(vol.sdf, vol.resolution), np.int32)
+    sdf_full = np.asarray(vol.sdf, np.float32)
+
+    sdf = np.full((n_shards, span, n, n), DEFAULT_DENSITY, np.float32)
+    accel = np.zeros((n_shards, cps, cells, cells), np.int32)
+    x0s = np.zeros(n_shards, np.int32)
+    los = np.zeros(n_shards, np.int32)
+    his = np.zeros(n_shards, np.int32)
+    for s in range(n_shards):
+        lo_cell = s * cps
+        x0 = lo_cell - HALO
+        x0s[s], los[s], his[s] = x0, lo_cell, lo_cell + cps
+        src_lo = max(0, x0)
+        src_hi = min(n, x0 + span)
+        sdf[s, src_lo - x0:src_hi - x0] = sdf_full[src_lo:src_hi]
+        accel[s] = accel_full[lo_cell:lo_cell + cps]
+
+    return SlabVolume(
+        sdf=jnp.asarray(sdf), accel=jnp.asarray(accel),
+        x_voxel0=jnp.asarray(x0s), cell_lo=jnp.asarray(los),
+        cell_hi=jnp.asarray(his),
+        n=jnp.full(n_shards, n, jnp.int32),
+        cell_size=jnp.full(n_shards, vol.cell_size, jnp.float32),
+        extends=jnp.full(n_shards, vol.extends, jnp.float32))
+
+
+def _slab_fetch(slab: SlabVolume):
+    """Voxel fetch in GLOBAL indices against the local slab storage.
+    Reads outside the volume or outside the stored planes return 0.0
+    (matching the D3D out-of-bounds-SRV semantics of the full fetch)."""
+    span, nn = slab.sdf.shape[0], slab.sdf.shape[-1]
+    flat = slab.sdf.reshape(-1)
+
+    def fetch(idx):
+        lx = idx[..., 0] - slab.x_voxel0
+        valid = (jnp.all((idx >= 0) & (idx < slab.n), axis=-1)
+                 & (lx >= 0) & (lx < span))
+        lxc = jnp.clip(lx, 0, span - 1)
+        ic = jnp.clip(idx[..., 1:], 0, nn - 1)
+        lin = (lxc * nn + ic[..., 0]) * nn + ic[..., 1]
+        return jnp.where(valid, jnp.take(flat, lin, axis=0), 0.0)
+
+    return fetch
+
+
+def _slab_accel_fetch(slab: SlabVolume):
+    """Packed accel value for GLOBAL cells; 0 outside the owned slab."""
+    cps = slab.accel.shape[0]
+    cc = slab.accel.shape[-1]
+    flat = slab.accel.reshape(-1)
+
+    def fetch(cell):
+        owned = ((cell[..., 0] >= slab.cell_lo)
+                 & (cell[..., 0] < slab.cell_hi)
+                 & jnp.all((cell[..., 1:] >= 0) & (cell[..., 1:] < cc),
+                           axis=-1))
+        lx = jnp.clip(cell[..., 0] - slab.cell_lo, 0, cps - 1)
+        ic = jnp.clip(cell[..., 1:], 0, cc - 1)
+        lin = (lx * cc + ic[..., 0]) * cc + ic[..., 1]
+        return jnp.where(owned, jnp.take(flat, lin, axis=0), 0)
+
+    return fetch
+
+
+def march_volume_slab(slab: SlabVolume, o, d, t_max) -> MarchHit:
+    """March rays (object space) against one shard's slab; interp mode.
+
+    Mirrors the replicated ``_march_core`` step-for-step inside the owned
+    slab (same node geometry, biases, and acceptance), and crosses the
+    out-of-slab region with a single giant empty node per side.  Hits are
+    reported only for owned cells; combine with ``combine_hits``.
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    slab = jax.lax.stop_gradient(slab)
+
+    # Rays are usually replicated over the 'model' axis while the slab is
+    # device-varying; adding a varying zero promotes every while_loop carry
+    # to the varying type shard_map's vma checker requires (value-preserving:
+    # x + 0.0 is exact).
+    vz = slab.cell_size * 0.0
+    o = o + vz
+    d = d + vz
+    t_max = t_max + vz
+
+    h = slab.cell_size
+    ext = slab.extends
+    n = slab.n
+    fetch = _slab_fetch(slab)
+    accel_fetch = _slab_accel_fetch(slab)
+    lo_plane = slab.cell_lo.astype(jnp.float32) * h - ext
+    hi_plane = slab.cell_hi.astype(jnp.float32) * h - ext
+
+    def pos_to_cell(p):
+        return jnp.floor((p + ext) / h).astype(jnp.int32)
+
+    def is_valid_cell(cell):
+        return jnp.all((cell >= 0) & (cell + 1 < n), axis=-1)
+
+    def node_bounds(cell, av):
+        """(has_surf, node_lo [L,3], node_hi [L,3]) — the aligned skip
+        block for owned cells (identical arithmetic to the replicated
+        march), the giant out-of-slab box otherwise."""
+        owned = (cell[..., 0] >= slab.cell_lo) & (cell[..., 0] < slab.cell_hi)
+        has_surf = (av & 1) == 1
+        level = av >> 1
+        origin_idx = (cell >> level[..., None]) << level[..., None]
+        node_size = jnp.exp2(level.astype(jnp.float32)) * h
+        node_pos = origin_idx.astype(jnp.float32) * h - ext
+        own_lo = node_pos
+        own_hi = node_pos + node_size[..., None]
+
+        left = cell[..., 0] < slab.cell_lo
+        out_lo_x = jnp.where(left, -ext, hi_plane)
+        out_hi_x = jnp.where(left, lo_plane, ext)
+        neg = jnp.broadcast_to(-ext, out_lo_x.shape)
+        pos = jnp.broadcast_to(ext, out_hi_x.shape)
+        out_lo = jnp.stack([out_lo_x, neg, neg], axis=-1)
+        out_hi = jnp.stack([out_hi_x, pos, pos], axis=-1)
+
+        m = owned[..., None]
+        return has_surf & owned, jnp.where(m, own_lo, out_lo), \
+            jnp.where(m, own_hi, out_hi)
+
+    def node_exit(node_lo, node_hi):
+        """Exit t with the reference's nested-if tie-break
+        (``GoToNextVoxel``, ``SH/Include/Voxel.hlsli:80-183``)."""
+        inv = _inv_dir(d)
+        sel = jnp.where(d > 0.0, node_hi, node_lo)
+        tm = jnp.where(d != 0.0, (sel - o) * inv, 1e5)
+        tx, ty, tz = tm[..., 0], tm[..., 1], tm[..., 2]
+        first = tx < ty
+        t_a = jnp.where(tx < tz, tx, tz)
+        t_b = jnp.where(ty < tz, ty, tz)
+        return jnp.where(first, t_a, t_b)
+
+    ok, t_enter, t_exit = ray_aabb(o, d, -ext[..., None], ext[..., None],
+                                   t_max)
+
+    pos_branch = t_enter >= 0.0
+    t_enter_b = jnp.where(pos_branch, t_enter + 0.01, t_enter)
+    entry_pos = o + d * t_enter_b[..., None]
+    cell0 = jnp.where(pos_branch[..., None], pos_to_cell(entry_pos),
+                      pos_to_cell(o))
+    av0 = accel_fetch(cell0)
+    _, node_lo0, node_hi0 = node_bounds(cell0, av0)
+    fwd_exit = node_exit(node_lo0, node_hi0)
+    cell_exit0 = jnp.where(pos_branch, t_enter_b, -fwd_exit + 0.01)
+
+    result = MarchHit.none_like(o)
+    active = ok
+
+    # fully solid entry cell (owner only: out-of-slab corner reads are 0)
+    from vrt.march.march import _entry_face_normal
+
+    entry_norm = _entry_face_normal(o, d, t_enter_b, ext[..., None])
+    corners0 = iso.gather_corners(fetch, cell0)
+    solid0 = jnp.all(corners0 < 0.0, axis=-1)
+    rep0 = active & is_valid_cell(cell0) & solid0
+    acc0 = rep0 & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
+    result = MarchHit(
+        hit=jnp.where(acc0, True, result.hit),
+        t=jnp.where(acc0, t_enter_b, result.t),
+        kind=jnp.where(acc0, KIND_SOLID_ENTRY, result.kind),
+        cell=jnp.where(acc0[..., None], cell0, result.cell),
+        t_in=result.t_in, t_out=result.t_out,
+        face_normal=jnp.where(acc0[..., None], entry_norm,
+                              result.face_normal))
+    active = active & ~rep0
+
+    def cond(state):
+        it, _, _, act, _ = state
+        return jnp.any(act) & (it < MAX_ITERATIONS)
+
+    def body(state):
+        it, cell, cell_exit, act, res = state
+
+        act2 = act & ~(cell_exit > t_exit)
+        cell_enter = cell_exit
+
+        valid = is_valid_cell(cell)
+        v8 = iso.gather_corners(fetch, cell)
+        av = accel_fetch(cell)
+        has_surf, node_lo, node_hi = node_bounds(cell, av)
+
+        new_exit = node_exit(node_lo, node_hi) + 0.1
+        next_cell = pos_to_cell(o + d * new_exit[..., None])
+
+        cell_base = cell.astype(jnp.float32) * h - ext
+        node_size = node_hi[..., 0] - node_lo[..., 0]
+        p_in = o + d * cell_enter[..., None]
+        p_out = o + d * new_exit[..., None]
+        a1 = (p_in - cell_base) / node_size[..., None]
+        b1 = (p_out - cell_base) / node_size[..., None] - a1
+        A, B, C, D = iso.cubic_coefficients(v8, a1, b1)
+        root_hit, t_hit = iso.surface_intersection(A, B, C, D, cell_enter,
+                                                   new_exit)
+        rep = act2 & valid & has_surf & root_hit
+        acc = rep & (t_hit >= 0.0) & (t_hit <= t_max)
+        res = MarchHit(
+            hit=jnp.where(acc, True, res.hit),
+            t=jnp.where(acc, t_hit, res.t),
+            kind=jnp.where(acc, KIND_SURFACE, res.kind),
+            cell=jnp.where(acc[..., None], cell, res.cell),
+            t_in=jnp.where(acc, cell_enter, res.t_in),
+            t_out=jnp.where(acc, new_exit, res.t_out),
+            face_normal=res.face_normal)
+
+        new_active = act2 & valid & ~rep
+        cell = jnp.where(new_active[..., None], next_cell, cell)
+        cell_exit = jnp.where(new_active, new_exit, cell_exit)
+        return (it + 1, cell, cell_exit, new_active, res)
+
+    it0 = jnp.asarray(0, jnp.int32)
+    _, _, _, still_active, result = jax.lax.while_loop(
+        cond, body, (it0, cell0, cell_exit0, active, result))
+
+    acc = still_active & (EXHAUSTED_T <= t_max)
+    result = MarchHit(
+        hit=jnp.where(acc, True, result.hit),
+        t=jnp.where(acc, EXHAUSTED_T, result.t),
+        kind=jnp.where(acc, KIND_EXHAUSTED, result.kind),
+        cell=result.cell, t_in=result.t_in, t_out=result.t_out,
+        face_normal=jnp.where(acc[..., None], jnp.asarray([1.0, 0.0, 0.0]),
+                              result.face_normal))
+    return result
+
+
+def combine_hits(hit: MarchHit, axis: str) -> MarchHit:
+    """Closest-hit reduction across the mesh axis.
+
+    Owned-cell hits are disjoint across shards, so min-t selection equals
+    the replicated march's first-accepted-hit.  All fields are re-typed
+    axis-invariant via the psum construction (each field is psum'd with
+    exactly one shard contributing), so the result can leave a
+    ``shard_map`` with a replicated out-spec.
+    """
+    t_key = jnp.where(hit.hit, hit.t, jnp.inf)
+    all_t = jax.lax.all_gather(t_key, axis)          # [S, R]
+    best = jnp.argmin(all_t, axis=0)                 # [R] same on all shards
+    win = best == jax.lax.axis_index(axis)
+
+    def pick(x):
+        m = win.reshape(win.shape + (1,) * (x.ndim - 1))
+        if x.dtype == jnp.bool_:
+            return jax.lax.psum(jnp.where(m, x, False).astype(jnp.int32),
+                                axis) > 0
+        return jax.lax.psum(jnp.where(m, x, jnp.zeros_like(x)), axis)
+
+    return jax.tree.map(pick, hit)
+
+
+def exchange_halos(slab: SlabVolume, axis: str) -> SlabVolume:
+    """Refresh halo planes from neighbors over the mesh axis (differentiable
+    ``ppermute`` pair; the transpose routes halo-read gradients back to the
+    plane's owner).  Edge shards keep their out-of-volume halo planes.
+
+    Plane accounting (span = cps + 1 + 2*HALO, slot j = global plane
+    ``x_voxel0 + j``): my left-halo slots [0, HALO) are globals
+    [cell_lo - HALO, cell_lo) = the left neighbor's owned slots
+    [span - 2*HALO - 1, span - HALO - 1); my right-halo slots
+    [span - HALO, span) are the right neighbor's owned slots
+    [HALO + 1, 2*HALO + 1).
+    """
+    size = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    span = slab.sdf.shape[0]
+    hl = HALO
+
+    to_right = slab.sdf[span - 2 * hl - 1:span - hl - 1]
+    to_left = slab.sdf[hl + 1:2 * hl + 1]
+    from_left = jax.lax.ppermute(
+        to_right, axis, [(s, s + 1) for s in range(size - 1)])
+    from_right = jax.lax.ppermute(
+        to_left, axis, [(s + 1, s) for s in range(size - 1)])
+
+    new = slab.sdf
+    new = new.at[:hl].set(
+        jnp.where(idx > 0, from_left, new[:hl]))
+    new = new.at[span - hl:].set(
+        jnp.where(idx < size - 1, from_right, new[span - hl:]))
+    return dataclasses.replace(slab, sdf=new)
+
+
+def resolve_slab_hits(slab: SlabVolume, o, d, hit: MarchHit):
+    """Differentiable (t, normal, unlit) for hits against this shard's data
+    (meaningful on owned-cell hits; the 2-voxel halo covers the normal
+    stencil of boundary cells).  Gradients flow into ``slab.sdf``."""
+    return resolve_hits(_slab_fetch(slab), slab.cell_size, slab.extends,
+                        o, d, hit)
