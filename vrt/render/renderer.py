@@ -78,47 +78,64 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
                 debug_overlay: bool = False):
     """Closest hit across all active instances — the TLAS equivalent.
 
-    Instances are FUSED into the lane dimension: one while_loop marches all
-    (ray, instance) pairs concurrently (lanes = I*R), the way DXR overlaps
-    candidate-instance traversal, instead of I sequential loops.  Inactive
-    instances' lanes get t_max = -inf and retire at the slab test.
+    DXR-style sequential candidate traversal: per ray, candidate instances
+    are ordered by AABB entry t (the order the hardware TLAS would surface
+    them) and marched one static pass at a time over lanes = R.  Pass j's
+    t_max is clamped to the best hit so far, so a later candidate is only
+    marched where it could still win (closest-hit ordering: once
+    ``t_enter > best_t`` the slab test retires the lane instantly, and a
+    pass whose chunk has no live lanes exits its while_loop immediately).
+    Versus fusing all (ray, instance) pairs into I*R lanes, this keeps the
+    per-step gather traffic at R lanes — instances rarely overlap on
+    screen, so fused lanes are mostly dead weight — and gives each
+    candidate its own 255-step cap exactly like the reference's
+    per-invocation intersection-shader budget (``SH/Raytracing.hlsl:229``).
+
+    Ties between instances at identical hit t resolve to the candidate
+    entered first (the reference's sequential TLAS scan keeps the lower
+    *index* on exact ties — a measure-zero deviation).
 
     Returns (hit: MarchHit (object-space brackets of the winning instance),
     inst: i32 [R] winning instance id, -1 when none).
     """
-    from vrt.march.march import march_lanes
+    from vrt.march.march import march_lanes, ray_aabb
 
     n_inst = scene.num_instances
-    r = o_w.shape[0]
 
     qi = vq.conjugate(scene.inst_rot)[:, None, :]            # [I,1,4]
     o_obj = vq.rotate(qi, (o_w[None] - scene.inst_pos[:, None])
                       / scene.inst_scale[:, None])           # [I,R,3]
     d_obj = vq.rotate(qi, d_w[None] / scene.inst_scale[:, None])
 
-    vol_ids = jnp.repeat(scene.inst_volume, r)               # [I*R]
-    t_l = jnp.tile(t_max, n_inst)
-    t_l = jnp.where(jnp.repeat(scene.inst_active, r), t_l, -jnp.inf)
+    ext_i = scene.volumes.extends[scene.inst_volume]         # [I]
+    ok, t_enter, _ = ray_aabb(o_obj, d_obj,
+                              -ext_i[:, None, None], ext_i[:, None, None],
+                              t_max[None])
+    ok = ok & scene.inst_active[:, None]                     # [I,R]
+    key = jnp.where(ok, t_enter, jnp.inf)
+    order = jnp.argsort(key, axis=0)                         # [I,R]
 
-    h = march_lanes(scene.volumes, vol_ids, o_obj.reshape(-1, 3),
-                    d_obj.reshape(-1, 3), t_l, interp=interp,
-                    debug_overlay=debug_overlay)
+    best = MarchHit.none_like(o_w)
+    best_inst = jnp.full(o_w.shape[0], -1, jnp.int32)
+    best_t = jnp.full(o_w.shape[0], jnp.inf)
 
-    # closest-hit reduction across instances (first index wins ties, like
-    # the sequential strictly-closer scan)
-    hit_i = h.hit.reshape(n_inst, r)
-    t_i = jnp.where(hit_i, h.t.reshape(n_inst, r), jnp.inf)
-    best = jnp.argmin(t_i, axis=0)                           # [R]
+    for j in range(n_inst):
+        inst_j = order[j]                                    # [R]
+        live = (jnp.take_along_axis(ok, inst_j[None], axis=0)[0]
+                & (jnp.take_along_axis(key, inst_j[None], axis=0)[0]
+                   < best_t))
+        t_max_j = jnp.where(live, jnp.minimum(t_max, best_t), -jnp.inf)
+        sel3 = inst_j[None, :, None]
+        o_j = jnp.take_along_axis(o_obj, sel3, axis=0)[0]    # [R,3]
+        d_j = jnp.take_along_axis(d_obj, sel3, axis=0)[0]
+        h = march_lanes(scene.volumes, scene.inst_volume[inst_j], o_j, d_j,
+                        t_max_j, interp=interp, debug_overlay=debug_overlay)
+        closer = h.hit & (h.t < best_t)
+        best = h.select(closer, best)
+        best_inst = jnp.where(closer, inst_j, best_inst)
+        best_t = jnp.where(closer, h.t, best_t)
 
-    def sel(x):
-        xi = x.reshape((n_inst, r) + x.shape[1:])
-        idx = best.reshape((1, r) + (1,) * (x.ndim - 1))
-        return jnp.take_along_axis(xi, idx, axis=0)[0]
-
-    best_hit = jax.tree.map(sel, h)
-    any_hit = hit_i.any(axis=0)
-    best_inst = jnp.where(any_hit, best, -1)
-    return best_hit, best_inst
+    return best, best_inst
 
 
 def _per_ray_instance(scene: GPUScene, inst):
