@@ -394,19 +394,27 @@ def tonemap(rgb):
 
 
 def _scene_hit_key(scene: GPUScene, o_w, d_w):
-    """Cheap per-ray sort key: 0 if the ray can hit any instance AABB,
-    1 otherwise (pure slab tests, no marching)."""
+    """Cheap per-ray sort key predicting march length (pure slab tests, no
+    marching): the longest in-volume chord across candidate instances,
+    quantized to cells, negated so long-march rays sort first; rays that
+    can hit nothing get the largest key.  Chunking sorted rays makes each
+    chunk's while_loop trip count homogeneous — a chunk only runs as long
+    as its slowest lane, so mixing a silhouette-grazing ray into a chunk
+    of sky rays used to cost the whole chunk the grazer's trip."""
     from vrt.march.march import ray_aabb
 
-    any_hit = jnp.zeros(o_w.shape[0], bool)
+    chord = jnp.zeros(o_w.shape[0], jnp.float32)
     for i in range(scene.num_instances):
         o, d = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
                                 scene.inst_scale[i], o_w, d_w)
-        ok, _, _ = ray_aabb(o, d, -scene.volumes.extends[scene.inst_volume[i]],
-                            scene.volumes.extends[scene.inst_volume[i]],
-                            jnp.full(o.shape[0], RADIANCE_TMAX))
-        any_hit = any_hit | (ok & scene.inst_active[i])
-    return jnp.where(any_hit, 0, 1).astype(jnp.int32)
+        vol = scene.inst_volume[i]
+        ext = scene.volumes.extends[vol]
+        ok, t_en, t_ex = ray_aabb(o, d, -ext, ext,
+                                  jnp.full(o.shape[0], RADIANCE_TMAX))
+        ok = ok & scene.inst_active[i]
+        c = (t_ex - jnp.maximum(t_en, 0.0)) / scene.volumes.cell_size[vol]
+        chord = jnp.maximum(chord, jnp.where(ok, c, 0.0))
+    return -jnp.ceil(chord).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size",
