@@ -269,6 +269,21 @@ class TestChunkedRender:
                                        chunk_size=64))
         np.testing.assert_allclose(img1, img2, atol=1e-6)
 
+    def test_deferred_reflection_matches_inline(self):
+        # A reflective scene routes chunked renders through the wavefront
+        # bounce pass (deferred via the linearity of radiance in Li);
+        # composition is exact up to fp reassociation of the shade sums.
+        from __graft_entry__ import _flagship_scene
+
+        scene = _flagship_scene(resolution=4)
+        assert scene.any_reflective
+        img1 = np.asarray(render_image(scene, 48, 48, RenderMode()))
+        for kw in (dict(chunk_size=256),
+                   dict(chunk_size=256, sort_rays=True)):
+            img2 = np.asarray(render_image(scene, 48, 48, RenderMode(),
+                                           **kw))
+            np.testing.assert_allclose(img1, img2, atol=1e-5), kw
+
 
 class TestTextureLoading:
     def test_material_textures_load_into_atlas(self, tmp_path):

@@ -209,8 +209,16 @@ def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
 
 
 def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
-               depth: int, mode: RenderMode):
-    """``VRClosestHit`` lit path (``SH/Raytracing.hlsl:49-144``)."""
+               depth: int, mode: RenderMode, defer_reflection: bool = False):
+    """``VRClosestHit`` lit path (``SH/Raytracing.hlsl:49-144``).
+
+    With ``defer_reflection`` the mirror-bounce ray is NOT traced inline;
+    instead its origin/direction and the exact linear composition weights
+    are returned so the caller can batch all bounce rays of a frame into
+    their own sorted pass (``radiance`` is elementwise in ``li``, so
+    ``brdf*li*(n.wi)`` factors into W applied after the bounce trace —
+    bit-exact deferral).  Returns (diffuse, aux | None).
+    """
     pr = _per_ray_instance(scene, inst)
     vol_id = pr["vol"]
 
@@ -257,17 +265,27 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
     # mirror reflection for roughness < 0.3 (SH/Raytracing.hlsl:79-91).
     # Statically skipped when no scene material can reflect — the traced
     # contribution would be identically zero (Radiance with Li = 0).
+    refl_aux = None
     if scene.any_reflective and depth + 1 < MAX_RAY_RECURSION_DEPTH:
         refl_dir = d_w - 2.0 * jnp.sum(d_w * n_w, -1, keepdims=True) * n_w
         refl_dir = _safe_unit(refl_dir)
-        refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
-                                  depth + 1, mode,
-                                  active=hit.hit & (roughness < 0.3))
-        refl_rgb = jnp.maximum(
-            0.0, refl_rgb * (1.0 - (roughness * 2.2)[..., None]))
-        add = _brdf.radiance(refl_rgb, refl_dir, wo, n_w, albedo,
-                             roughness, metallic, k)
-        diffuse = diffuse + jnp.where((roughness < 0.3)[..., None], add, 0.0)
+        gate = hit.hit & (roughness < 0.3)
+        if defer_reflection:
+            w_lin = (_brdf.brdf(refl_dir, wo, n_w, albedo, roughness,
+                                metallic, k)
+                     * jnp.sum(n_w * refl_dir, -1, keepdims=True))
+            refl_aux = dict(origin=shadow_origin, dir=refl_dir, gate=gate,
+                            weight=w_lin,
+                            scale=1.0 - roughness * 2.2)
+        else:
+            refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
+                                      depth + 1, mode, active=gate)
+            refl_rgb = jnp.maximum(
+                0.0, refl_rgb * (1.0 - (roughness * 2.2)[..., None]))
+            add = _brdf.radiance(refl_rgb, refl_dir, wo, n_w, albedo,
+                                 roughness, metallic, k)
+            diffuse = diffuse + jnp.where((roughness < 0.3)[..., None],
+                                          add, 0.0)
 
     # directional light (SH/Raytracing.hlsl:93-98)
     li = scene.dir_light_strength
@@ -313,7 +331,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         lit = (inten > 0.01) & ~sh
         diffuse = diffuse + jnp.where(lit[..., None], add, 0.0)
 
-    return diffuse
+    return diffuse, refl_aux
 
 
 def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
@@ -335,7 +353,7 @@ def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
 
 
 def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
-                   active=None):
+                   active=None, defer_reflection: bool = False):
     """One radiance dispatch level; returns linear rgb [R,3].
 
     Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
@@ -343,6 +361,11 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
     result the caller discards (e.g. non-reflective pixels spawning bounce
     rays): they are deactivated before the march so the shared while_loop
     runs only for live lanes.
+
+    ``defer_reflection`` returns ``(rgb_without_bounce, aux)`` instead of
+    tracing the depth+1 mirror ray inline — ``aux`` carries the bounce rays
+    and their exact linear composition weights for a batched second pass
+    (see ``render_image``); compose with ``compose_deferred_reflection``.
     """
     r = o_w.shape[0]
     if depth >= MAX_RAY_RECURSION_DEPTH:
@@ -364,14 +387,35 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
 
     miss_rgb = _tex.sample_env(scene.env, d_w)
 
+    aux = None
     if mode.lit:
-        shaded = _shade_lit(scene, o_w, d_w, t, n_obj, inst, hit, depth, mode)
+        shaded, aux = _shade_lit(scene, o_w, d_w, t, n_obj, inst, hit,
+                                 depth, mode,
+                                 defer_reflection=defer_reflection)
     else:
         shaded = _shade_unlit_mode(scene, o_w, d_w, t, n_obj, inst, hit, mode)
 
     # attr.unlit lanes show the raw (object-space) attribute normal
     shaded = jnp.where(unlit_attr[..., None], n_obj, shaded)
-    return jnp.where(hit.hit[..., None], shaded, miss_rgb)
+    rgb = jnp.where(hit.hit[..., None], shaded, miss_rgb)
+    if not defer_reflection:
+        return rgb
+    if aux is None:  # unlit mode / nothing reflective: dead bounce batch
+        zf3 = o_w * 0.0
+        aux = dict(origin=zf3, dir=zf3 + 1.0, gate=hit.hit & False,
+                   weight=zf3, scale=zf3[:, 0])
+    else:
+        # unlit-attribute lanes replace the shade entirely — no bounce add
+        aux = dict(aux, gate=aux["gate"] & ~unlit_attr)
+    return rgb, aux
+
+
+def compose_deferred_reflection(rgb, aux, refl_rgb):
+    """Exact composition of a deferred bounce pass: the attenuation clamp
+    and the linear BRDF weight from ``_shade_lit``
+    (``SH/Raytracing.hlsl:79-91``), applied post-trace."""
+    refl = jnp.maximum(0.0, refl_rgb * aux["scale"][..., None])
+    return rgb + jnp.where(aux["gate"][..., None], aux["weight"] * refl, 0.0)
 
 
 def tonemap(rgb):
@@ -449,11 +493,69 @@ def render_image(scene: GPUScene, width: int, height: int,
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-        o = o.reshape(-1, chunk_size, 3)
-        d = d.reshape(-1, chunk_size, 3)
-        rgb = jax.lax.map(
-            lambda od: trace_radiance(scene, od[0], od[1], 0, mode), (o, d))
-        rgb = rgb.reshape(-1, 3)[:total]
+        oc = o.reshape(-1, chunk_size, 3)
+        dc = d.reshape(-1, chunk_size, 3)
+        defer = mode.lit and scene.any_reflective
+
+        def _dead_aux(oc1, dc1):
+            zf3 = oc1 * 0.0
+            return dict(origin=zf3, dir=zf3 + 1.0,
+                        gate=jnp.zeros(oc1.shape[0], bool),
+                        weight=zf3, scale=zf3[:, 0])
+
+        def primary_chunk(od):
+            oc1, dc1 = od
+            # Chunks whose rays can hit no instance AABB shade as pure env
+            # misses; lax.cond skips the march/resolve/shadow programs at
+            # RUNTIME for them (sky is most of a frame, and its fixed
+            # full-width entry/resolve gathers dominated dead chunks).
+            can_hit = jnp.any(_scene_hit_key(scene, oc1, dc1) < 0)
+
+            def live(_):
+                return trace_radiance(scene, oc1, dc1, 0, mode,
+                                      defer_reflection=defer)
+
+            def dead(_):
+                rgb = _tex.sample_env(scene.env, dc1)
+                return (rgb, _dead_aux(oc1, dc1)) if defer else rgb
+
+            return jax.lax.cond(can_hit, live, dead, None)
+
+        if defer:
+            # Wavefront bounce pass: primary chunks emit reflection rays +
+            # exact linear weights; all bounce rays of the frame are then
+            # re-sorted by their own march-length key and chunked, so the
+            # (few) live bounce lanes cluster into a handful of chunks and
+            # all-dead chunks are cond-skipped entirely.
+            rgb, aux = jax.lax.map(primary_chunk, (oc, dc))
+            rgb = rgb.reshape(-1, 3)
+            aux = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), aux)
+            key_b = jnp.where(aux["gate"],
+                              _scene_hit_key(scene, aux["origin"],
+                                             aux["dir"]),
+                              jnp.asarray(2 ** 30, jnp.int32))
+            perm_b = jnp.argsort(key_b, stable=True)
+            ob = aux["origin"][perm_b].reshape(-1, chunk_size, 3)
+            db = aux["dir"][perm_b].reshape(-1, chunk_size, 3)
+            gb = aux["gate"][perm_b].reshape(-1, chunk_size)
+
+            def bounce_chunk(x):
+                oc1, dc1, g1 = x
+                return jax.lax.cond(
+                    jnp.any(g1),
+                    lambda _: trace_radiance(scene, oc1, dc1, 1, mode,
+                                             active=g1),
+                    lambda _: jnp.zeros((oc1.shape[0], 3), jnp.float32),
+                    None)
+
+            refl = jax.lax.map(bounce_chunk, (ob, db, gb))
+            refl = refl.reshape(-1, 3)
+            refl = jnp.zeros_like(refl).at[perm_b].set(refl)
+            rgb = compose_deferred_reflection(rgb, aux, refl)[:total]
+        else:
+            rgb = jax.lax.map(primary_chunk, (oc, dc))
+            rgb = rgb.reshape(-1, 3)[:total]
         if perm is not None:
             rgb = jnp.zeros_like(rgb).at[perm].set(rgb)
     else:
