@@ -56,7 +56,10 @@ def child():
 
     from vrt.render.renderer import render_image
 
-    scene = _flagship_scene(resolution=RESOLUTION)
+    # Chebyshev distance-map traversal: strictly bigger empty-space skips
+    # than the aligned octree-equivalent blocks, identical hit results
+    # (tests/test_march.py pins the equivalence).
+    scene = _flagship_scene(resolution=RESOLUTION, accel_mode="chebyshev")
     mode = RenderMode()
 
     def render(scene):

@@ -531,14 +531,13 @@ def render_image(scene: GPUScene, width: int, height: int,
             rgb = rgb.reshape(-1, 3)
             aux = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), aux)
-            key_b = jnp.where(aux["gate"],
-                              _scene_hit_key(scene, aux["origin"],
-                                             aux["dir"]),
-                              jnp.asarray(2 ** 30, jnp.int32))
-            perm_b = jnp.argsort(key_b, stable=True)
-            ob = aux["origin"][perm_b].reshape(-1, chunk_size, 3)
-            db = aux["dir"][perm_b].reshape(-1, chunk_size, 3)
-            gb = aux["gate"][perm_b].reshape(-1, chunk_size)
+            # Bounce rays stay in primary-chunk order: they exist only on
+            # reflective-hit lanes, which the primary chord sort already
+            # clusters — re-sorting would cost an argsort + scatter of the
+            # whole frame for marginal extra clustering.
+            ob = aux["origin"].reshape(-1, chunk_size, 3)
+            db = aux["dir"].reshape(-1, chunk_size, 3)
+            gb = aux["gate"].reshape(-1, chunk_size)
 
             def bounce_chunk(x):
                 oc1, dc1, g1 = x
@@ -551,7 +550,6 @@ def render_image(scene: GPUScene, width: int, height: int,
 
             refl = jax.lax.map(bounce_chunk, (ob, db, gb))
             refl = refl.reshape(-1, 3)
-            refl = jnp.zeros_like(refl).at[perm_b].set(refl)
             rgb = compose_deferred_reflection(rgb, aux, refl)[:total]
         else:
             rgb = jax.lax.map(primary_chunk, (oc, dc))
