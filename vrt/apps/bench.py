@@ -44,16 +44,21 @@ def bench_forward(resolution, width, height, label, results, chunk=None):
     from vrt.render.gpuscene import RenderMode
     from vrt.render.renderer import render_image
 
-    scene = _flagship_scene(resolution=resolution)
+    scene = _flagship_scene(resolution=resolution, accel_mode="chebyshev")
+    if chunk is None:
+        # sorted chunking enables per-chunk dead-skip (see renderer): pick
+        # a size giving >= 8 chunks so sky regions actually retire early
+        chunk = max(2048, min(16384, (width * height) // 8))
     dt = _time(lambda: render_image(scene, width, height, RenderMode(),
-                                    chunk_size=chunk))
+                                    chunk_size=chunk, sort_rays=True))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
           file=sys.stderr, flush=True)
 
 
-def bench_fit(resolution, size, label, results):
+def bench_fit(resolution, size, label, results, width=None, height=None,
+              chunk=None):
     import jax.numpy as jnp
     import optax
 
@@ -61,15 +66,18 @@ def bench_fit(resolution, size, label, results):
     from vrt.diff.fit import make_fit_step
     from vrt.render.gpuscene import RenderMode
 
+    width = width or size
+    height = height or size
     scene = _flagship_scene(resolution=resolution, use_colors=True)
     cams = [dict(position=(320.0, 0.0, 40.0),
                  rotation=np.asarray([0.0, 0.0, 1.0, 0.0], np.float32),
                  fov=60.0)]
-    targets = jnp.zeros((1, size * size, 3), jnp.float32)
+    targets = jnp.zeros((1, width * height, 3), jnp.float32)
     params = {"sdf": scene.volumes.sdf, "voxel_colors": scene.voxel_colors}
     opt = optax.adam(1e-2)
     state = opt.init(params)
-    step = make_fit_step(scene, cams, size, size, RenderMode(), opt)
+    step = make_fit_step(scene, cams, width, height, RenderMode(), opt,
+                         chunk_size=chunk)
 
     def run():
         nonlocal params, state
@@ -77,7 +85,7 @@ def bench_fit(resolution, size, label, results):
         return loss
 
     dt = _time(run)
-    rays = size * size
+    rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/step, {rays/dt/1e6:.3f} Mrays/s "
           f"(fwd+bwd)", file=sys.stderr, flush=True)
@@ -130,6 +138,9 @@ def main(argv=None):
                       results, args.chunk)
     if 4 in args.configs:
         bench_fit(5, 128, "config4 fit step 128x128 fwd+bwd", results)
+    if 6 in args.configs:
+        bench_fit(6, 0, "config6 fit step 1080p fwd+bwd", results,
+                  width=1920, height=1080, chunk=32768)
     if 5 in args.configs:
         bench_scaling(5, 256, "config5 ray-DP scaling 256x256", results)
 

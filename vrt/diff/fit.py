@@ -83,20 +83,38 @@ def rebuild_accel(scene: GPUScene) -> GPUScene:
 
 
 def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
-                 height: int, mode: RenderMode):
+                 height: int, mode: RenderMode,
+                 chunk_size: int | None = None):
     """Render one image per camera dict {position, rotation, fov}; returns
-    [C,H*W,3] tonemapped."""
+    [C,H*W,3] tonemapped.
+
+    ``chunk_size`` maps the trace over ray chunks (``lax.map`` is
+    differentiable — its transpose maps the backward chunk-wise too), so
+    full-frame fwd+bwd fits in memory at 1080p-scale ray counts.
+    """
     imgs = []
     for cam in cams:
         o, d = camera_rays(jnp.asarray(cam["position"]),
                            jnp.asarray(cam["rotation"]),
                            jnp.asarray(cam.get("fov", 60.0)), width, height)
-        imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))
+        total = o.shape[0]
+        if chunk_size and total > chunk_size:
+            pad = (-total) % chunk_size
+            if pad:
+                o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            rgb = jax.lax.map(
+                lambda od: trace_radiance(scene, od[0], od[1], 0, mode),
+                (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
+            imgs.append(tonemap(rgb.reshape(-1, 3)[:total]))
+        else:
+            imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))
     return jnp.stack(imgs)
 
 
 def make_fit_step(scene: GPUScene, cams: Sequence[Dict], width: int,
-                  height: int, mode: RenderMode, optimizer):
+                  height: int, mode: RenderMode, optimizer,
+                  chunk_size: int | None = None):
     """Single-device fit step factory.
 
     step(params, opt_state, targets[C,H*W,3]) -> (params, opt_state, loss)
@@ -106,7 +124,8 @@ def make_fit_step(scene: GPUScene, cams: Sequence[Dict], width: int,
     def step(params, opt_state, targets):
         def loss_fn(p):
             s = rebuild_accel(graft_params(scene, p))
-            imgs = render_views(s, cams, width, height, mode)
+            imgs = render_views(s, cams, width, height, mode,
+                                chunk_size=chunk_size)
             return jnp.mean((imgs - targets) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
