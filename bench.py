@@ -56,10 +56,14 @@ def child():
 
     from vrt.render.renderer import render_image
 
-    # Chebyshev distance-map traversal: strictly bigger empty-space skips
-    # than the aligned octree-equivalent blocks, identical hit results
-    # (tests/test_march.py pins the equivalence).
-    scene = _flagship_scene(resolution=RESOLUTION, accel_mode="chebyshev")
+    # Chebyshev distance-map traversal (bigger skips, identical hits) +
+    # bf16 fast-march corner table (traversal only; hit resolve stays f32;
+    # error comparable to the reference's own 15-bit fixed-point volume
+    # encoding, RDXVoxelVolume.cpp:399-421).  VRT_BENCH_EXACT=1 reverts to
+    # the bit-exact f32 path.
+    fast = os.environ.get("VRT_BENCH_EXACT") != "1"
+    scene = _flagship_scene(resolution=RESOLUTION, accel_mode="chebyshev",
+                            march_dtype=jnp.bfloat16 if fast else None)
     mode = RenderMode()
 
     def render(scene):

@@ -269,6 +269,25 @@ class TestChunkedRender:
                                        chunk_size=64))
         np.testing.assert_allclose(img1, img2, atol=1e-6)
 
+    def test_bf16_fast_march_close_to_f32(self):
+        # fast-march mode: traversal from a bfloat16 corner table, resolve
+        # from the f32 SDF.  Error is comparable to the reference's 15-bit
+        # fixed-point volume encoding; images agree to 8-bit quantization
+        # except (rarely) silhouette-grazing pixels.
+        import jax.numpy as jnp
+        from __graft_entry__ import _flagship_scene
+
+        a = np.asarray(render_image(_flagship_scene(resolution=5),
+                                    64, 64, RenderMode()))
+        sc = _flagship_scene(resolution=5)
+        import dataclasses
+        vols = dataclasses.replace(
+            sc.volumes, corners=sc.volumes.corners.astype(jnp.bfloat16))
+        sc = dataclasses.replace(sc, volumes=vols)
+        b = np.asarray(render_image(sc, 64, 64, RenderMode()))
+        bad = (np.abs(a - b).max(-1) > 1 / 255).sum()
+        assert bad <= 8, bad  # a handful of grazing pixels at most
+
     def test_deferred_reflection_matches_inline(self):
         # A reflective scene routes chunked renders through the wavefront
         # bounce pass (deferred via the linearity of radiance in Li);

@@ -46,9 +46,11 @@ def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
             from vrt.march.types import pack_cell_corners
 
             accel_ch = vols.corners[..., 8].astype(jnp.int32)
+            dt = vols.corners.dtype
             vols = dataclasses.replace(
-                vols, corners=jax.vmap(pack_cell_corners)(
-                    params["sdf"], accel_ch))
+                vols, corners=jax.vmap(
+                    lambda s, a: pack_cell_corners(s, a, dtype=dt))(
+                        params["sdf"], accel_ch))
     scene = dataclasses.replace(scene, volumes=vols)
     direct = {k: v for k, v in params.items()
               if k not in ("sdf",) and hasattr(scene, k)}
@@ -75,7 +77,9 @@ def rebuild_accel(scene: GPUScene) -> GPUScene:
         # packed differentiably: resolve-phase corner gathers backprop into
         # the SDF through the packing slices (the march still consumes the
         # packed table under its own stop_gradient)
-        corners = jax.vmap(pack_cell_corners)(sdf, accel)
+        dt = corners.dtype
+        corners = jax.vmap(lambda s, a: pack_cell_corners(s, a, dtype=dt))(
+            sdf, accel)
     return dataclasses.replace(
         scene, volumes=dataclasses.replace(scene.volumes, accel=accel,
                                            corners=corners,
@@ -99,14 +103,40 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
                            jnp.asarray(cam.get("fov", 60.0)), width, height)
         total = o.shape[0]
         if chunk_size and total > chunk_size:
+            from vrt.render.renderer import _scene_hit_key
+
+            # chord-sort so chunk trip counts are homogeneous (the key is
+            # integer-valued: no gradient path through the permutation)
+            perm = jnp.argsort(_scene_hit_key(scene, o, d), stable=True)
+            o = o[perm]
+            d = d[perm]
             pad = (-total) % chunk_size
             if pad:
                 o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
                 d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            # remat per chunk: without it lax.map stacks every chunk's
+            # shading residuals across the whole frame (OOM at 1080p);
+            # the backward recomputes one chunk's forward at a time.
+            # lax.cond skips all-sky chunks in BOTH the forward and the
+            # backward (their radiance is exactly the env sample either
+            # way, so values and env-gradients agree between branches).
+            from vrt.shade import texture as _tex
+
+            @jax.checkpoint
+            def traced(od):
+                oc, dc = od
+                return jax.lax.cond(
+                    jnp.any(_scene_hit_key(scene, oc, dc) < 0),
+                    lambda _: trace_radiance(scene, oc, dc, 0, mode),
+                    lambda _: _tex.sample_env(scene.env, dc),
+                    None)
+
             rgb = jax.lax.map(
-                lambda od: trace_radiance(scene, od[0], od[1], 0, mode),
+                traced,
                 (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
-            imgs.append(tonemap(rgb.reshape(-1, 3)[:total]))
+            rgb = rgb.reshape(-1, 3)[:total]
+            rgb = jnp.zeros_like(rgb).at[perm].set(rgb)
+            imgs.append(tonemap(rgb))
         else:
             imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))
     return jnp.stack(imgs)

@@ -155,7 +155,8 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 voxel_colors: np.ndarray | None = None,
                 pad_volumes_to: int | None = None,
                 quantize_densities: bool = False,
-                accel_mode: str = "octree") -> GPUScene:
+                accel_mode: str = "octree",
+                march_dtype=None) -> GPUScene:
     """Assemble a GPUScene from host data.
 
     instances: dicts {volume: int, position, rotation(quat xyzw), scale}.
@@ -179,7 +180,8 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 voxel_materials=v.voxel_materials)
             for v in volumes]
     n_max = pad_volumes_to or max(v.n_voxels for v in volumes)
-    dvs = [DeviceVolume.from_volume(v, pad_to=n_max, accel_mode=accel_mode)
+    dvs = [DeviceVolume.from_volume(v, pad_to=n_max, accel_mode=accel_mode,
+                                    march_dtype=march_dtype)
            for v in volumes]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *dvs)
 

@@ -154,7 +154,13 @@ def _per_ray_instance(scene: GPUScene, inst):
 
 
 def resolve_scene(scene: GPUScene, o_w, d_w, hit: MarchHit, inst):
-    """Differentiable (t, object-space normal, unlit) for scene hits."""
+    """Differentiable (t, object-space normal, unlit) for scene hits.
+
+    Resolve reads the packed corner table when present — including a
+    reduced-precision (bf16 fast-march) one: falling back to 8 scattered
+    f32 voxel gathers per trilinear sample costs more than the fast mode
+    saves, and the bf16 rounding is comparable to the reference's 15-bit
+    fixed-point volume encoding anyway."""
     pr = _per_ray_instance(scene, inst)
     o, d = _world_to_object(pr["pos"], pr["rot"], pr["scale"], o_w, d_w)
     fetch = iso.make_stacked_fetch(scene.volumes.sdf, pr["n"], pr["vol"])
