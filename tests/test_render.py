@@ -201,6 +201,58 @@ class TestInstances:
             return (np.abs(img[..., :3] - sky).sum(-1) > 0.05).sum()
         assert blob(1.5) > blob(1.0) * 1.5
 
+    def test_many_overlapping_instances_closest_hit(self):
+        # Sequential candidate traversal (entry-t ordered, t_max-clamped)
+        # must resolve the closest hit exactly like marching every
+        # instance and min-reducing — including overlapping AABBs where a
+        # later-entered instance holds the nearer surface.
+        from vrt.march.march import march_volume
+        from vrt.march.types import DeviceVolume
+        from vrt.render.camera import camera_rays
+        from vrt.render.renderer import march_scene
+
+        vol_small = VoxelVolume.from_generator(S.Sphere(radius=30.0), 4,
+                                               100.0)
+        vol_big = VoxelVolume.from_generator(S.Sphere(radius=60.0), 4,
+                                             100.0)
+        vols = [vol_small, vol_big]
+        # a line of 6 instances straddling the view axis, AABBs overlapping
+        insts = [{"volume": i % 2, "position": (-40.0 * i, 12.0 * (i % 3),
+                                                8.0 * (i % 2))}
+                 for i in range(6)]
+        scene = build_scene(
+            vols, insts,
+            camera={"position": (320.0, 0.0, 0.0),
+                    "rotation": np.asarray(
+                        vq.from_euler_degrees(0.0, 180.0, 0.0)),
+                    "fov": 60.0},
+            dir_light={"direction": np.asarray([0, 0, 1.0], np.float32),
+                       "strength": 3.0})
+        o, d = camera_rays(scene.cam_pos, scene.cam_rot, scene.cam_fov,
+                           24, 24)
+        t_max = jnp.full(o.shape[0], 1e4, jnp.float32)
+        hit, inst = march_scene(scene, o, d, t_max, interp=True)
+
+        # brute force: march every instance separately, min-t reduce
+        import vrt.core.quat as _vq
+        best_t = np.full(o.shape[0], np.inf)
+        best_i = np.full(o.shape[0], -1)
+        for i, spec in enumerate(insts):
+            dv = DeviceVolume.from_volume(vols[spec["volume"]])
+            pos = np.asarray(spec["position"], np.float32)
+            oo = np.asarray(o) - pos
+            h = march_volume(dv, jnp.asarray(oo), d, t_max)
+            t = np.where(np.asarray(h.hit), np.asarray(h.t), np.inf)
+            closer = t < best_t
+            best_t = np.where(closer, t, best_t)
+            best_i = np.where(closer, i, best_i)
+        np.testing.assert_array_equal(np.asarray(hit.hit),
+                                      np.isfinite(best_t))
+        m = np.isfinite(best_t)
+        np.testing.assert_allclose(np.asarray(hit.t)[m], best_t[m],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(inst)[m], best_i[m])
+
 
 class TestSceneGraphAndEngine:
     def test_scene_to_gpu_and_engine_frames(self):
