@@ -35,12 +35,22 @@ class EngineInstance:
 class Engine:
     def __init__(self, instance: EngineInstance,
                  width: int = 512, height: int = 512,
-                 mode: RenderMode = RenderMode()):
+                 mode: RenderMode = RenderMode(),
+                 chunk_size: int | str | None = "auto",
+                 sort_rays: bool = True):
         self.instance = instance
         self.scene: Optional[Scene] = None
         self.width = width
         self.height = height
         self.render_mode = mode
+        # "auto": sorted chunks sized for >=8 chunks per frame — enables
+        # the renderer's dead-chunk skipping for sky regions (big frames
+        # only; tiny frames render as one batch)
+        if chunk_size == "auto":
+            chunk_size = (max(2048, min(16384, (width * height) // 8))
+                          if width * height > 16384 else None)
+        self.chunk_size = chunk_size
+        self.sort_rays = sort_rays
         self.fps = 0.0
         self.frame_count = 0
         self.last_frame: Optional[np.ndarray] = None
@@ -102,6 +112,7 @@ class Engine:
             self._needs_sync = False
         self._gpu_scene = self.scene.sync_gpu(self._gpu_scene)
         img = render_image(self._gpu_scene, self.width, self.height,
-                           self.render_mode)
+                           self.render_mode, chunk_size=self.chunk_size,
+                           sort_rays=self.sort_rays)
         self.last_frame = np.asarray(img)
         return self.last_frame
