@@ -202,3 +202,16 @@ class TestDDS:
         assert env.shape == (6, 4, 4, 3)
         for f, (r, g, b) in enumerate(colors):
             assert np.allclose(env[f, 0, 0] * 255, (r, g, b), atol=1)
+
+
+class TestDDSWriter:
+    def test_write_read_roundtrip(self):
+        from vrt.io.image import read_dds_cubemap, write_dds_cubemap
+        rng = np.random.default_rng(0)
+        env = rng.uniform(size=(6, 8, 8, 3)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "sky.dds")
+            write_dds_cubemap(path, env)
+            back = read_dds_cubemap(path)
+        assert back.shape == env.shape
+        np.testing.assert_allclose(back, env, atol=1 / 255.0 + 1e-6)

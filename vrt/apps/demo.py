@@ -90,6 +90,20 @@ class DemoInstance(EngineInstance):
                 rotation=np.asarray(vq.from_euler_degrees(0.0, 45.0, -30.0)),
                 strength=6.0))
 
+        # skybox (RendererEngineInstance.cpp:243 loads Skybox.dds): the
+        # shipped generated cubemap if present, else a flat sky color
+        if scene.environment is None:
+            sky = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), "assets",
+                "skybox.dds")
+            if os.path.exists(sky):
+                from vrt.render.texture_factory import \
+                    load_texture_cube_from_file
+                scene.environment = load_texture_cube_from_file(sky)
+            else:
+                scene.environment = np.full((6, 1, 1, 3), (0.25, 0.45, 0.85),
+                                            np.float32)
+
         red = VoxelVolume.from_generator(
             S.Sphere(radius=50.0), 6, 100.0,
             material=Material(albedo=(1.0, 0.2, 0.2, 1.0), roughness=0.1,

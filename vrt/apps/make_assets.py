@@ -46,6 +46,30 @@ def torus_mesh(major=60.0, minor=25.0, nu=48, nv=24):
     return verts, np.asarray(faces, np.int64)
 
 
+def sky_cubemap(edge=32):
+    """Simple gradient sky: blue zenith -> pale horizon -> dark ground,
+    shaded per face from the sample direction's z (the Skybox.dds stand-in
+    — the reference repo ships its skybox as a binary we don't copy)."""
+    # face axes in the sampler's +X,-X,+Y,-Y,+Z,-Z layout
+    uv = (np.arange(edge, dtype=np.float32) + 0.5) / edge * 2.0 - 1.0
+    u, v = np.meshgrid(uv, uv, indexing="xy")
+    ones = np.ones_like(u)
+    dirs = [np.stack(a, -1) for a in (
+        (ones, -u, -v), (-ones, u, -v), (u, ones, -v), (-u, -ones, -v),
+        (u, v, ones), (u, -v, -ones))]
+    env = np.zeros((6, edge, edge, 3), np.float32)
+    zenith = np.array([0.25, 0.45, 0.85], np.float32)
+    horizon = np.array([0.75, 0.8, 0.9], np.float32)
+    ground = np.array([0.25, 0.22, 0.2], np.float32)
+    for f, d in enumerate(dirs):
+        n = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        z = n[..., 2:3]
+        sky = horizon + (zenith - horizon) * np.clip(z, 0, 1)
+        env[f] = np.where(z >= 0, sky, horizon + (ground - horizon)
+                          * np.clip(-z, 0, 1))
+    return env
+
+
 def checker_texture(size=64, c0=(220, 60, 40), c1=(240, 220, 200)):
     img = np.zeros((size, size, 3), np.uint8)
     t = size // 8
@@ -65,6 +89,11 @@ def main(argv=None):
     tex_path = os.path.join(args.out, "checker.png")
     write_png(tex_path, checker_texture())
     print(f"wrote {tex_path}")
+
+    from vrt.io.image import write_dds_cubemap
+    sky_path = os.path.join(args.out, "skybox.dds")
+    write_dds_cubemap(sky_path, sky_cubemap())
+    print(f"wrote {sky_path}")
 
     verts, faces = torus_mesh()
     vol = voxelize_mesh_native(

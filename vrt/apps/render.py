@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--fov", type=float, default=60.0)
     ap.add_argument("--turntable", type=int, default=0,
                     help="render N frames orbiting the scene")
+    ap.add_argument("--env", default=None,
+                    help="DDS cubemap for the sky (Skybox.dds equivalent)")
+    ap.add_argument("--env-color", type=float, nargs=3, default=None,
+                    help="flat sky color (linear rgb)")
     args = ap.parse_args(argv)
 
     from vrt.core.platform import apply_platform_env
@@ -56,6 +60,13 @@ def main(argv=None):
         scene.spawn(DirectionalLight(
             rotation=np.asarray(vq.from_euler_degrees(0.0, 45.0, -30.0)),
             strength=6.0))
+
+    if args.env:
+        from vrt.render.texture_factory import load_texture_cube_from_file
+        scene.environment = load_texture_cube_from_file(args.env)
+    elif args.env_color:
+        scene.environment = np.full((6, 1, 1, 3), args.env_color,
+                                    np.float32)
 
     mode = RenderMode.from_enum(args.mode)
     if args.debug_overlay:

@@ -153,6 +153,33 @@ def _decode_dxt1(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+def write_dds_cubemap(path: str, env: np.ndarray) -> None:
+    """float [6,E,E,3] (linear 0..1) -> uncompressed 32-bit BGRA DDS
+    cubemap, 1 mip — the layout ``read_dds_cubemap`` (and DirectXTex's
+    loader, ``VR/Renderer/Private/TextureFactory.cpp:29-69``) consumes."""
+    env = np.asarray(env)
+    assert env.ndim == 4 and env.shape[0] == 6 and env.shape[3] == 3, \
+        env.shape
+    edge = env.shape[1]
+    assert env.shape[2] == edge, env.shape
+    u8 = np.clip(np.round(env * 255.0), 0, 255).astype(np.uint8)
+    flags = 0x1 | 0x2 | 0x4 | 0x1000
+    header = struct.pack("<4sIIIIIII44x", b"DDS ", 124, flags, edge,
+                         edge, edge * 4, 0, 1)
+    pf = struct.pack("<IIIIIIII", 32, 0x41, 0, 32,
+                     0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    caps = struct.pack("<IIIII", 0x1000 | 0x8, 0x200 | 0xFE00, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + pf + caps)
+        for face in range(6):
+            bgra = np.empty((edge, edge, 4), np.uint8)
+            bgra[..., 0] = u8[face, ..., 2]
+            bgra[..., 1] = u8[face, ..., 1]
+            bgra[..., 2] = u8[face, ..., 0]
+            bgra[..., 3] = 255
+            f.write(bgra.tobytes())
+
+
 def read_dds_cubemap(path: str) -> np.ndarray:
     """-> float32 [6,E,E,3] in face order +X,-X,+Y,-Y,+Z,-Z."""
     data = open(path, "rb").read()
