@@ -91,6 +91,50 @@ def bench_fit(resolution, size, label, results, width=None, height=None,
           f"(fwd+bwd)", file=sys.stderr, flush=True)
 
 
+def bench_many_instances(resolution, size, label, results, n_inst=12):
+    """Sequential TLAS traversal at scene scale (the reference caps at 20
+    objects, SH/RaytracingHlsl.h:112): a grid of instances sharing two
+    volumes."""
+    import jax.numpy as jnp
+
+    from vrt.core import quat as vq
+    from vrt.core.material import Material
+    from vrt.render.gpuscene import RenderMode, build_scene
+    from vrt.render.renderer import render_image
+    from vrt.volume import sdf as S
+    from vrt.volume.volume import VoxelVolume
+
+    sphere = VoxelVolume.from_generator(
+        S.Sphere(radius=45.0), resolution, 100.0,
+        material=Material(albedo=(0.9, 0.3, 0.2, 1.0), roughness=0.6))
+    csg = S.CSG(shape=S.Box(extends=(40.0, 40.0, 40.0)))
+    csg.add_child(S.Sphere(radius=50.0), S.SUBTRACT)
+    box = VoxelVolume.from_generator(
+        csg, resolution, 100.0,
+        material=Material(albedo=(0.2, 0.5, 0.9, 1.0), roughness=0.8))
+    insts = []
+    for i in range(n_inst):
+        gx, gy = divmod(i, 4)
+        insts.append({"volume": i % 2,
+                      "position": (-160.0 * gx,
+                                   170.0 * (gy - 1.5),
+                                   60.0 * ((i % 3) - 1))})
+    scene = build_scene(
+        [sphere, box], insts, accel_mode="chebyshev",
+        camera={"position": (430.0, 0.0, 60.0),
+                "rotation": np.asarray(
+                    vq.from_euler_degrees(0.0, 180.0, 0.0)), "fov": 70.0},
+        dir_light={"direction": np.asarray(vq.forward_vector(
+            vq.from_euler_degrees(0.0, 45.0, -30.0))), "strength": 5.0},
+        env=np.full((6, 4, 4, 3), (0.3, 0.4, 0.6), np.float32))
+    chunk = max(2048, min(16384, (size * size) // 8))
+    dt = _time(lambda: render_image(scene, size, size, RenderMode(),
+                                    chunk_size=chunk, sort_rays=True))
+    results.append((label, dt * 1e3, size * size / dt))
+    print(f"{label}: {dt*1e3:.1f} ms/frame, {size*size/dt/1e6:.2f} Mrays/s",
+          file=sys.stderr, flush=True)
+
+
 def bench_scaling(resolution, size, label, results):
     """Ray-DP scaling efficiency across the available devices."""
     import jax
@@ -141,6 +185,9 @@ def main(argv=None):
     if 6 in args.configs:
         bench_fit(6, 0, "config6 fit step 1080p fwd+bwd", results,
                   width=1920, height=1080, chunk=32768)
+    if 7 in args.configs:
+        bench_many_instances(6, 512, "config7 12-instance scene 512x512 fwd",
+                             results)
     if 5 in args.configs:
         bench_scaling(5, 256, "config5 ray-DP scaling 256x256", results)
 
