@@ -101,3 +101,25 @@ class TestDPFit:
         np.testing.assert_allclose(
             np.asarray(g_dp["voxel_colors"]),
             np.asarray(g_single["voxel_colors"]), rtol=1e-4, atol=1e-6)
+
+
+class TestMeshHelpers:
+    def test_make_render_mesh_shapes_and_names(self):
+        mesh = make_render_mesh(4, 2)
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.devices.shape == (4, 2)
+        with pytest.raises(ValueError):
+            make_render_mesh(16, 2)  # more devices than exist
+
+    def test_local_mesh_shape(self):
+        from vrt.dist.mesh import local_mesh_shape
+        n_data, n_model = local_mesh_shape(2)
+        assert n_data * n_model == len(jax.devices())
+        assert n_model == 2
+
+    def test_init_distributed_idempotent(self):
+        from vrt.dist.mesh import init_distributed
+        # single-process: initialize raises RuntimeError internally and the
+        # helper swallows it; calling twice must not raise
+        init_distributed()
+        init_distributed()
