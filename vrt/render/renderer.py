@@ -375,7 +375,13 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
     """
     r = o_w.shape[0]
     if depth >= MAX_RAY_RECURSION_DEPTH:
-        return jnp.zeros((r, 3), jnp.float32)
+        rgb0 = jnp.zeros((r, 3), jnp.float32)
+        if defer_reflection:
+            zf3 = o_w * 0.0
+            return rgb0, dict(origin=zf3, dir=zf3 + 1.0,
+                              gate=jnp.zeros(r, bool), weight=zf3,
+                              scale=zf3[:, 0])
+        return rgb0
 
     t_max = jnp.full(r, RADIANCE_TMAX)
     if active is not None:
