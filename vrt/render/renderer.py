@@ -215,7 +215,8 @@ def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
 
 
 def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
-               depth: int, mode: RenderMode, defer_reflection: bool = False):
+               depth: int, mode: RenderMode, defer_reflection: bool = False,
+               defer_dir_shadow: bool = False):
     """``VRClosestHit`` lit path (``SH/Raytracing.hlsl:49-144``).
 
     With ``defer_reflection`` the mirror-bounce ray is NOT traced inline;
@@ -223,7 +224,12 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
     are returned so the caller can batch all bounce rays of a frame into
     their own sorted pass (``radiance`` is elementwise in ``li``, so
     ``brdf*li*(n.wi)`` factors into W applied after the bounce trace —
-    bit-exact deferral).  Returns (diffuse, aux | None).
+    bit-exact deferral).  ``defer_dir_shadow`` likewise defers the
+    directional-light shadow trace: the untraced dir-light contribution and
+    the shadow-ray origins are returned so the caller can batch all shadow
+    rays of the frame into their own sorted pass (the term is
+    ``where(blocked, 0, dir_add)`` — exact post-composition).
+    Returns (diffuse, refl_aux | None, shadow_aux | None).
     """
     pr = _per_ray_instance(scene, inst)
     vol_id = pr["vol"]
@@ -231,11 +237,13 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
     hit_pos = o_w + t[..., None] * d_w
     shadow_origin = hit_pos - d_w * 0.1
 
-    shadow_dir_hit = trace_shadow(scene, shadow_origin,
-                                  jnp.broadcast_to(scene.dir_light_dir,
-                                                   d_w.shape),
-                                  jnp.full(t.shape, DIR_SHADOW_TMAX),
-                                  depth + 1, mode.interp, relevant=hit.hit)
+    if not defer_dir_shadow:
+        shadow_dir_hit = trace_shadow(scene, shadow_origin,
+                                      jnp.broadcast_to(scene.dir_light_dir,
+                                                       d_w.shape),
+                                      jnp.full(t.shape, DIR_SHADOW_TMAX),
+                                      depth + 1, mode.interp,
+                                      relevant=hit.hit)
 
     diffuse = jnp.full(d_w.shape, _brdf.SHADOW_BRIGHTNESS)
 
@@ -298,7 +306,12 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
     dir_add = _brdf.radiance(jnp.broadcast_to(li, d_w.shape),
                              jnp.broadcast_to(scene.dir_light_dir, d_w.shape),
                              wo, n_w, albedo, roughness, metallic, k)
-    diffuse = diffuse + jnp.where(shadow_dir_hit[..., None], 0.0, dir_add)
+    shadow_aux = None
+    if defer_dir_shadow:
+        shadow_aux = dict(origin=shadow_origin, add=dir_add, gate=hit.hit)
+    else:
+        diffuse = diffuse + jnp.where(shadow_dir_hit[..., None], 0.0,
+                                      dir_add)
 
     # point lights (SH/Raytracing.hlsl:100-120); the count is static
     for pi in range(scene.num_point):
@@ -337,7 +350,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         lit = (inten > 0.01) & ~sh
         diffuse = diffuse + jnp.where(lit[..., None], add, 0.0)
 
-    return diffuse, refl_aux
+    return diffuse, refl_aux, shadow_aux
 
 
 def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
@@ -358,8 +371,22 @@ def _shade_unlit_mode(scene: GPUScene, o_w, d_w, t, n_obj, inst,
     return jnp.broadcast_to(tint, d_w.shape)
 
 
+def _dead_refl_aux(o_w):
+    """Bounce-batch aux with no live lanes (pytree-matches the live one)."""
+    zf3 = o_w * 0.0
+    return dict(origin=zf3, dir=zf3 + 1.0, gate=jnp.zeros(o_w.shape[0], bool),
+                weight=zf3, scale=zf3[:, 0])
+
+
+def _dead_shadow_aux(o_w):
+    """Shadow-batch aux with no live lanes."""
+    zf3 = o_w * 0.0
+    return dict(origin=zf3, add=zf3, gate=jnp.zeros(o_w.shape[0], bool))
+
+
 def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
-                   active=None, defer_reflection: bool = False):
+                   active=None, defer_reflection: bool = False,
+                   defer_dir_shadow: bool = False):
     """One radiance dispatch level; returns linear rgb [R,3].
 
     Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
@@ -368,20 +395,23 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
     rays): they are deactivated before the march so the shared while_loop
     runs only for live lanes.
 
-    ``defer_reflection`` returns ``(rgb_without_bounce, aux)`` instead of
-    tracing the depth+1 mirror ray inline — ``aux`` carries the bounce rays
-    and their exact linear composition weights for a batched second pass
-    (see ``render_image``); compose with ``compose_deferred_reflection``.
+    ``defer_reflection`` returns the bounce rays and their exact linear
+    composition weights instead of tracing the depth+1 mirror ray inline;
+    ``defer_dir_shadow`` likewise returns the directional-light shadow rays
+    and the untraced light contribution.  With either flag the return is a
+    tuple ``(rgb, [refl_aux], [shadow_aux])`` for a batched second pass
+    (see ``render_image``); compose with ``compose_deferred_reflection`` /
+    ``compose_deferred_shadow``.
     """
     r = o_w.shape[0]
     if depth >= MAX_RAY_RECURSION_DEPTH:
         rgb0 = jnp.zeros((r, 3), jnp.float32)
+        out = (rgb0,)
         if defer_reflection:
-            zf3 = o_w * 0.0
-            return rgb0, dict(origin=zf3, dir=zf3 + 1.0,
-                              gate=jnp.zeros(r, bool), weight=zf3,
-                              scale=zf3[:, 0])
-        return rgb0
+            out += (_dead_refl_aux(o_w),)
+        if defer_dir_shadow:
+            out += (_dead_shadow_aux(o_w),)
+        return out if len(out) > 1 else rgb0
 
     t_max = jnp.full(r, RADIANCE_TMAX)
     if active is not None:
@@ -399,27 +429,36 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
 
     miss_rgb = _tex.sample_env(scene.env, d_w)
 
-    aux = None
+    refl_aux = shadow_aux = None
     if mode.lit:
-        shaded, aux = _shade_lit(scene, o_w, d_w, t, n_obj, inst, hit,
-                                 depth, mode,
-                                 defer_reflection=defer_reflection)
+        shaded, refl_aux, shadow_aux = _shade_lit(
+            scene, o_w, d_w, t, n_obj, inst, hit, depth, mode,
+            defer_reflection=defer_reflection,
+            defer_dir_shadow=defer_dir_shadow)
     else:
         shaded = _shade_unlit_mode(scene, o_w, d_w, t, n_obj, inst, hit, mode)
 
     # attr.unlit lanes show the raw (object-space) attribute normal
     shaded = jnp.where(unlit_attr[..., None], n_obj, shaded)
     rgb = jnp.where(hit.hit[..., None], shaded, miss_rgb)
-    if not defer_reflection:
+    if not (defer_reflection or defer_dir_shadow):
         return rgb
-    if aux is None:  # unlit mode / nothing reflective: dead bounce batch
-        zf3 = o_w * 0.0
-        aux = dict(origin=zf3, dir=zf3 + 1.0, gate=hit.hit & False,
-                   weight=zf3, scale=zf3[:, 0])
-    else:
-        # unlit-attribute lanes replace the shade entirely — no bounce add
-        aux = dict(aux, gate=aux["gate"] & ~unlit_attr)
-    return rgb, aux
+    out = (rgb,)
+    if defer_reflection:
+        if refl_aux is None:  # unlit mode / nothing reflective: dead batch
+            refl_aux = _dead_refl_aux(o_w)
+        else:
+            # unlit-attribute lanes replace the shade entirely — no add
+            refl_aux = dict(refl_aux, gate=refl_aux["gate"] & ~unlit_attr)
+        out += (refl_aux,)
+    if defer_dir_shadow:
+        if shadow_aux is None:
+            shadow_aux = _dead_shadow_aux(o_w)
+        else:
+            shadow_aux = dict(shadow_aux,
+                              gate=shadow_aux["gate"] & ~unlit_attr)
+        out += (shadow_aux,)
+    return out
 
 
 def compose_deferred_reflection(rgb, aux, refl_rgb):
@@ -428,6 +467,14 @@ def compose_deferred_reflection(rgb, aux, refl_rgb):
     (``SH/Raytracing.hlsl:79-91``), applied post-trace."""
     refl = jnp.maximum(0.0, refl_rgb * aux["scale"][..., None])
     return rgb + jnp.where(aux["gate"][..., None], aux["weight"] * refl, 0.0)
+
+
+def compose_deferred_shadow(rgb, aux, blocked):
+    """Exact composition of a deferred dir-light shadow pass: add the
+    untraced directional contribution on unblocked gated lanes
+    (``diffuse += where(shadow_hit, 0, dir_add)``, ``Raytracing.hlsl:98``)."""
+    return rgb + jnp.where((aux["gate"] & ~blocked)[..., None],
+                           aux["add"], 0.0)
 
 
 def tonemap(rgb):
@@ -507,13 +554,8 @@ def render_image(scene: GPUScene, width: int, height: int,
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         oc = o.reshape(-1, chunk_size, 3)
         dc = d.reshape(-1, chunk_size, 3)
-        defer = mode.lit and scene.any_reflective
-
-        def _dead_aux(oc1, dc1):
-            zf3 = oc1 * 0.0
-            return dict(origin=zf3, dir=zf3 + 1.0,
-                        gate=jnp.zeros(oc1.shape[0], bool),
-                        weight=zf3, scale=zf3[:, 0])
+        defer_refl = mode.lit and scene.any_reflective
+        defer_sh = mode.lit
 
         def primary_chunk(od):
             oc1, dc1 = od
@@ -525,31 +567,70 @@ def render_image(scene: GPUScene, width: int, height: int,
 
             def live(_):
                 return trace_radiance(scene, oc1, dc1, 0, mode,
-                                      defer_reflection=defer)
+                                      defer_reflection=defer_refl,
+                                      defer_dir_shadow=defer_sh)
 
             def dead(_):
                 rgb = _tex.sample_env(scene.env, dc1)
-                return (rgb, _dead_aux(oc1, dc1)) if defer else rgb
+                out = (rgb,)
+                if defer_refl:
+                    out += (_dead_refl_aux(oc1),)
+                if defer_sh:
+                    out += (_dead_shadow_aux(oc1),)
+                return out if len(out) > 1 else rgb
 
             return jax.lax.cond(can_hit, live, dead, None)
 
-        if defer:
+        out = jax.lax.map(primary_chunk, (oc, dc))
+        if defer_refl or defer_sh:
+            parts = list(out)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+            rgb = flat(parts.pop(0))
+            refl_aux = (jax.tree.map(flat, parts.pop(0)) if defer_refl
+                        else None)
+            sh_aux = jax.tree.map(flat, parts.pop(0)) if defer_sh else None
+        else:
+            rgb = out.reshape(-1, 3)
+
+        if defer_sh:
+            # Wavefront shadow pass: all directional shadow rays of the
+            # frame, re-sorted by their own march-length key so trip counts
+            # are homogeneous per chunk; gate-free chunks (sky regions,
+            # pad lanes) are cond-skipped entirely.
+            so, gate = sh_aux["origin"], sh_aux["gate"]
+            sd = jnp.broadcast_to(scene.dir_light_dir, so.shape)
+            skey = _scene_hit_key(scene, so, sd)
+            skey = jnp.where(gate, skey, jnp.iinfo(jnp.int32).max)
+            sperm = jnp.argsort(skey, stable=True)
+            so_s = so[sperm].reshape(-1, chunk_size, 3)
+            g_s = gate[sperm].reshape(-1, chunk_size)
+
+            def shadow_chunk(x):
+                oc1, g1 = x
+
+                def live(_):
+                    maxd = jnp.where(g1, DIR_SHADOW_TMAX, -jnp.inf)
+                    dd = jnp.broadcast_to(scene.dir_light_dir, oc1.shape)
+                    h, _ = march_scene(scene, oc1, dd, maxd, mode.interp)
+                    return h.hit
+
+                return jax.lax.cond(
+                    jnp.any(g1), live,
+                    lambda _: jnp.zeros(oc1.shape[0], bool), None)
+
+            blocked_s = jax.lax.map(shadow_chunk, (so_s, g_s)).reshape(-1)
+            blocked = jnp.zeros_like(blocked_s).at[sperm].set(blocked_s)
+            rgb = compose_deferred_shadow(rgb, sh_aux, blocked)
+
+        if defer_refl:
             # Wavefront bounce pass: primary chunks emit reflection rays +
-            # exact linear weights; all bounce rays of the frame are then
-            # re-sorted by their own march-length key and chunked, so the
-            # (few) live bounce lanes cluster into a handful of chunks and
-            # all-dead chunks are cond-skipped entirely.
-            rgb, aux = jax.lax.map(primary_chunk, (oc, dc))
-            rgb = rgb.reshape(-1, 3)
-            aux = jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), aux)
-            # Bounce rays stay in primary-chunk order: they exist only on
-            # reflective-hit lanes, which the primary chord sort already
-            # clusters — re-sorting would cost an argsort + scatter of the
-            # whole frame for marginal extra clustering.
-            ob = aux["origin"].reshape(-1, chunk_size, 3)
-            db = aux["dir"].reshape(-1, chunk_size, 3)
-            gb = aux["gate"].reshape(-1, chunk_size)
+            # exact linear weights; live bounce lanes cluster into a few
+            # chunks (they exist only on reflective-hit lanes, which the
+            # primary chord sort already groups) and all-dead chunks are
+            # cond-skipped entirely.
+            ob = refl_aux["origin"].reshape(-1, chunk_size, 3)
+            db = refl_aux["dir"].reshape(-1, chunk_size, 3)
+            gb = refl_aux["gate"].reshape(-1, chunk_size)
 
             def bounce_chunk(x):
                 oc1, dc1, g1 = x
@@ -562,10 +643,9 @@ def render_image(scene: GPUScene, width: int, height: int,
 
             refl = jax.lax.map(bounce_chunk, (ob, db, gb))
             refl = refl.reshape(-1, 3)
-            rgb = compose_deferred_reflection(rgb, aux, refl)[:total]
-        else:
-            rgb = jax.lax.map(primary_chunk, (oc, dc))
-            rgb = rgb.reshape(-1, 3)[:total]
+            rgb = compose_deferred_reflection(rgb, refl_aux, refl)
+
+        rgb = rgb[:total]
         if perm is not None:
             rgb = jnp.zeros_like(rgb).at[perm].set(rgb)
     else:
