@@ -441,3 +441,301 @@ def intersect_volume_cube(vol, o, d, t_max=10000.0):
         return dict(kind="exhausted", t=10.0, cell=None,
                     normal=np.array([1.0, 0, 0]))
     return None
+
+
+# ---------------------------------------------------------------------------
+# full-scene oracle: instances, all 8 modes, lights, reflection, cubemap
+# (scalar re-derivation of SH/Raytracing*.hlsl closest-hit/miss + TLAS)
+# ---------------------------------------------------------------------------
+
+def _quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
+class InstanceNP:
+    """One TLAS entry: volume + TRS + material (reference geometry CB)."""
+
+    def __init__(self, volume, position=(0, 0, 0), scale=(1, 1, 1),
+                 rotation=(0, 0, 0, 1), tint=(1, 1, 1), roughness=0.8,
+                 metallic=0.0, albedo_tex=None, normal_tex=None,
+                 rm_tex=None, tex_scale=(100.0, 100.0)):
+        self.volume = volume
+        self.position = np.asarray(position, np.float64)
+        self.scale = np.asarray(scale, np.float64)
+        self.rotation = np.asarray(rotation, np.float64)
+        self.tint = np.asarray(tint, np.float64)
+        self.roughness = float(roughness)
+        self.metallic = float(metallic)
+        self.k = (self.roughness + 1.0) ** 2 / 8.0  # RDXVoxelVolume.cpp:383
+        self.albedo_tex = albedo_tex    # [H,W,3] float or None (-> white)
+        self.normal_tex = normal_tex    # None -> flat (0.5,0.5,1)
+        self.rm_tex = rm_tex            # None -> white
+        self.tex_scale = np.asarray(tex_scale, np.float64)
+
+    def world_to_object(self, o, d):
+        qi = _quat_conj(self.rotation)
+        return (_quat_rotate(qi, (o - self.position) / self.scale),
+                _quat_rotate(qi, d / self.scale))
+
+    def object_pos(self, world_pos):
+        return _quat_rotate(_quat_conj(self.rotation),
+                            (world_pos - self.position) / self.scale)
+
+    def normal_to_world(self, n_obj):
+        # mul(float4(n,0), ObjectToWorld4x3()): rotate then scale, no renorm
+        return _quat_rotate(self.rotation, n_obj) * self.scale
+
+
+class SceneNP:
+    def __init__(self, instances, env, dir_light_dir=(0, 0, -1),
+                 dir_light_strength=0.0, point_lights=(), spot_lights=()):
+        self.instances = list(instances)
+        self.env = np.asarray(env, np.float64)   # [6,E,E,3] cubemap
+        self.dir_light_dir = np.asarray(dir_light_dir, np.float64)
+        self.dir_light_strength = float(dir_light_strength)
+        # point: dict(position, color, intensity, att_l, att_exp)
+        self.point_lights = list(point_lights)
+        # spot: dict(position, forward, color, intensity, att_l, att_exp,
+        #            cos_angle, cos_falloff)
+        self.spot_lights = list(spot_lights)
+
+
+def sample_bilinear_wrap_np(tex, uv):
+    """D3D linear+wrap sampler (texel centers at (i+.5)/N)."""
+    h, w = tex.shape[0], tex.shape[1]
+    u = uv[0] * w - 0.5
+    v = uv[1] * h - 0.5
+    u0, v0 = np.floor(u), np.floor(v)
+    fu, fv = u - u0, v - v0
+    out = np.zeros(3)
+    for du, dv, wgt in ((0, 0, (1 - fu) * (1 - fv)),
+                        (1, 0, fu * (1 - fv)),
+                        (0, 1, (1 - fu) * fv), (1, 1, fu * fv)):
+        ui = int(u0 + du) % w
+        vi = int(v0 + dv) % h
+        out += wgt * tex[vi, ui]
+    return out
+
+
+def tri_sample_np(tex, scale, obj_pos, n_obj):
+    """TriSampleTexture (Textures.hlsli:16-34): uvX=zy, uvY=xz, uvZ=xy."""
+    if tex is None:
+        return np.ones(3)
+    uvs = [np.array([obj_pos[2], obj_pos[1]]) / scale,
+           np.array([obj_pos[0], obj_pos[2]]) / scale,
+           np.array([obj_pos[0], obj_pos[1]]) / scale]
+    taps = [sample_bilinear_wrap_np(tex, uv) for uv in uvs]
+    b = np.abs(n_obj)
+    s = b.sum()
+    b = b / s if s > 0 else b * 0.0
+    return taps[0] * b[0] + taps[1] * b[1] + taps[2] * b[2]
+
+
+def _quat_from_x_np(v):
+    """fromX (Quaternion.hlsli): rotation taking +X to v."""
+    x = np.array([1.0, 0.0, 0.0])
+    c = np.cross(x, v)
+    w = 1.0 + np.dot(x, v)
+    if w < 1e-6:  # antiparallel: 180 deg about any perpendicular (use Z)
+        q = np.array([0.0, 0.0, 1.0, 0.0])
+        return q
+    q = np.array([c[0], c[1], c[2], w])
+    return q / np.linalg.norm(q)
+
+
+def tri_sample_normal_np(tex, scale, obj_pos, n_obj):
+    """TriSampleNormal (Textures.hlsli:36-58): .zxy swizzle + fromX rotate."""
+    if tex is None:
+        t = np.array([0.0, 0.0, 1.0])  # flat tangent normal
+    else:
+        uvs = [np.array([obj_pos[2], obj_pos[1]]) / scale,
+               np.array([obj_pos[0], obj_pos[2]]) / scale,
+               np.array([obj_pos[0], obj_pos[1]]) / scale]
+        taps = [sample_bilinear_wrap_np(tex, uv) * 2.0 - 1.0 for uv in uvs]
+        b = np.abs(n_obj)
+        s = b.sum()
+        b = b / s if s > 0 else b * 0.0
+        t = taps[0] * b[0] + taps[1] * b[1] + taps[2] * b[2]
+        nt = np.linalg.norm(t)
+        t = t / nt if nt > 0 else t * 0.0
+    t = np.array([t[2], t[0], t[1]])  # .zxy
+    q = _quat_from_x_np(np.asarray(n_obj, np.float64))
+    return _quat_rotate(q, t)
+
+
+def sample_cube_np(env, direction):
+    """D3D cube lookup + bilinear (face order +X,-X,+Y,-Y,+Z,-Z)."""
+    x, y, z = direction
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        ma, face = ax, (0 if x >= 0 else 1)
+        sc, tc = (-z, -y) if x >= 0 else (z, -y)
+    elif ay >= az:
+        ma, face = ay, (2 if y >= 0 else 3)
+        sc, tc = (x, z) if y >= 0 else (x, -z)
+    else:
+        ma, face = az, (4 if z >= 0 else 5)
+        sc, tc = (x, -y) if z >= 0 else (-x, -y)
+    e = env.shape[1]
+    u = (sc / ma + 1.0) * 0.5 * e - 0.5
+    v = (tc / ma + 1.0) * 0.5 * e - 0.5
+    u0, v0 = np.floor(u), np.floor(v)
+    fu, fv = u - u0, v - v0
+    out = np.zeros(3)
+    for du, dv, wgt in ((0, 0, (1 - fu) * (1 - fv)),
+                        (1, 0, fu * (1 - fv)),
+                        (0, 1, (1 - fu) * fv), (1, 1, fu * fv)):
+        ui = min(max(int(u0 + du), 0), e - 1)
+        vi = min(max(int(v0 + dv), 0), e - 1)
+        out += wgt * env[face, vi, ui]
+    return out
+
+
+def sample_env_np(env, d):
+    """VRMiss: cubemap sampled with the direction swizzled .xzy."""
+    return sample_cube_np(env, np.array([d[0], d[2], d[1]]))
+
+
+def trace_scene_np(scene, o, d, t_max, interp):
+    """Closest hit across instances (the TLAS).  Returns
+    (inst_idx, hitdict) or (None, None)."""
+    best = None
+    best_i = None
+    best_t = np.inf
+    for i, inst in enumerate(scene.instances):
+        oo, dd = inst.world_to_object(np.asarray(o, np.float64),
+                                      np.asarray(d, np.float64))
+        fn = intersect_volume if interp else intersect_volume_cube
+        h = fn(inst.volume, oo, dd, t_max=min(t_max, best_t))
+        if h is not None and h["t"] < best_t:
+            best, best_i, best_t = h, i, h["t"]
+    return best_i, best
+
+
+def trace_shadow_np(scene, o, d, max_dist, depth, interp):
+    """TraceShadowRay: recursion-capped boolean any-hit."""
+    if depth >= 3:
+        return False
+    i, h = trace_scene_np(scene, o, d, max_dist, interp)
+    return h is not None
+
+
+def trace_radiance_np(scene, o, d, depth, interp=True, lit=True,
+                      textured=True, shadow_backoff=0.1):
+    """TraceRadianceRay + VRClosestHit/VRMiss (depth 0-based like vrt:
+    reference payload depth minus 1)."""
+    if depth >= 3:
+        return np.zeros(3)
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    ii, h = trace_scene_np(scene, o, d, 10000.0, interp)
+    if h is None:
+        return sample_env_np(scene.env, d)
+    if h["kind"] == "exhausted":
+        return np.array([1.0, 0.0, 0.0])  # attr.unlit -> attr.normal (red)
+    inst = scene.instances[ii]
+    n_obj = h["normal"]
+    t = h["t"]
+    hit_pos = o + t * d
+    shadow_origin = hit_pos - d * shadow_backoff
+    obj_pos = inst.object_pos(hit_pos)
+
+    if not lit:
+        if textured:
+            return inst.tint * tri_sample_np(inst.albedo_tex, inst.tex_scale,
+                                             obj_pos, n_obj)
+        return inst.tint.copy()
+
+    if textured:
+        albedo = inst.tint * tri_sample_np(inst.albedo_tex, inst.tex_scale,
+                                           obj_pos, n_obj)
+        rm = tri_sample_np(inst.rm_tex, inst.tex_scale, obj_pos, n_obj)
+        roughness = min(max(inst.roughness * rm[0], 0.0), 1.0)
+        metallic = min(max(inst.metallic * rm[1], 0.0), 1.0)
+        n_shade = tri_sample_normal_np(inst.normal_tex, inst.tex_scale,
+                                       obj_pos, n_obj)
+    else:
+        albedo = inst.tint.copy()
+        roughness = min(max(inst.roughness, 0.0), 1.0)
+        metallic = min(max(inst.metallic, 0.0), 1.0)
+        n_shade = n_obj
+    k = inst.k
+    n_w = inst.normal_to_world(n_shade)
+    wo = -d
+
+    diffuse = np.zeros(3)  # SHADOW_BRIGHTNESS = 0
+
+    # mirror reflection (Raytracing.hlsl:79-91)
+    if roughness < 0.3 and depth + 1 < 3:
+        refl = d - 2.0 * np.dot(d, n_w) * n_w
+        refl = refl / np.linalg.norm(refl)
+        rc = trace_radiance_np(scene, shadow_origin, refl, depth + 1,
+                               interp, lit, textured, shadow_backoff)
+        rc = np.maximum(0.0, rc * (1.0 - roughness * 2.2))
+        diffuse = diffuse + cook_torrance(rc, refl, wo, n_w, albedo,
+                                          roughness, metallic, k)
+
+    # directional light (Raytracing.hlsl:93-98)
+    sh = trace_shadow_np(scene, shadow_origin, scene.dir_light_dir, 5000.0,
+                         depth + 1, interp)
+    if not sh:
+        li = np.full(3, scene.dir_light_strength)
+        diffuse = diffuse + cook_torrance(li, scene.dir_light_dir, wo, n_w,
+                                          albedo, roughness, metallic, k)
+
+    # point lights (Raytracing.hlsl:100-120)
+    for L in scene.point_lights:
+        delta = np.asarray(L["position"], np.float64) - shadow_origin
+        dist = np.linalg.norm(delta)
+        inten = L["intensity"] / (1 + L["att_l"] * dist
+                                  + L["att_exp"] * dist * dist)
+        if inten > 0.005:
+            sdir = delta / dist
+            sh = trace_shadow_np(scene, shadow_origin, sdir, dist,
+                                 depth + 1, interp)
+            if not sh:
+                li = np.asarray(L["color"], np.float64) * inten
+                diffuse = diffuse + cook_torrance(li, sdir, wo, n_w, albedo,
+                                                  roughness, metallic, k)
+
+    # spot lights (Raytracing.hlsl:122-139; color indexed by the SPOT —
+    # the reference's [pi] out-of-scope bug deliberately not reproduced)
+    for L in scene.spot_lights:
+        lp = np.asarray(L["position"], np.float64)
+        delta = lp - shadow_origin
+        dist = np.linalg.norm(delta)
+        sdirn = (shadow_origin - lp) / dist
+        cos_surf = np.dot(np.asarray(L["forward"], np.float64), sdirn)
+        inten = 0.0
+        if cos_surf >= 0.0 and cos_surf > L["cos_angle"]:
+            fall = min((cos_surf - L["cos_angle"])
+                       / (L["cos_falloff"] - L["cos_angle"]), 1.0)
+            inten = (L["intensity"] * fall
+                     / (1 + L["att_l"] * dist + L["att_exp"] * dist * dist))
+        if inten > 0.01:
+            sdir = delta / dist
+            sh = trace_shadow_np(scene, shadow_origin, sdir, dist,
+                                 depth + 1, interp)
+            if not sh:
+                li = np.asarray(L["color"], np.float64) * inten
+                diffuse = diffuse + cook_torrance(li, sdir, wo, n_w, albedo,
+                                                  roughness, metallic, k)
+    return diffuse
+
+
+def render_scene_np(scene, width, height, cam_pos, cam_rot, fov,
+                    interp=True, lit=True, textured=True,
+                    shadow_backoff=0.1):
+    """Full-pipeline scalar render: raygen -> radiance -> Reinhard+gamma
+    tonemap with UNORM flush.  [H,W,3] float32."""
+    img = np.zeros((height, width, 3), np.float32)
+    for py in range(height):
+        for px in range(width):
+            o, d = camera_ray(px, py, width, height, cam_pos, cam_rot, fov)
+            rgb = trace_radiance_np(scene, o, d, 0, interp, lit,
+                                    textured, shadow_backoff)
+            c = rgb / (rgb + 1.0)
+            with np.errstate(all="ignore"):
+                c = np.power(c, 1 / 2.2)
+            img[py, px] = np.clip(np.nan_to_num(c, nan=0.0), 0.0, 1.0)
+    return img

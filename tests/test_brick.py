@@ -279,3 +279,76 @@ class TestSlabFit:
         # updates on several shards (the sphere spans multiple slabs)
         moved_per_shard = delta.reshape(4, -1).max(axis=1)
         assert (moved_per_shard > 0).sum() >= 2, moved_per_shard
+
+
+class TestResync:
+    def test_assemble_roundtrip(self):
+        from vrt.dist.brick import assemble_full_sdf
+        vol = _volume()
+        slabs = shard_volume(vol, 4)
+        full = np.asarray(assemble_full_sdf(slabs))
+        np.testing.assert_array_equal(full, np.asarray(vol.sdf))
+
+    def test_resync_matches_fresh_shard(self):
+        """Perturb the sharded SDF, resync, compare against shard_volume of
+        the assembled geometry (accel + sdf + layout all equal)."""
+        from vrt.dist.brick import assemble_full_sdf, resync_slabs
+        vol = _volume()
+        slabs = shard_volume(vol, 4)
+        rng = np.random.default_rng(11)
+        bumped = (np.asarray(slabs.sdf)
+                  + rng.normal(scale=3.0, size=slabs.sdf.shape)
+                  .astype(np.float32))
+        slabs = dataclasses.replace(slabs, sdf=jnp.asarray(bumped))
+
+        resynced = resync_slabs(slabs, vol.resolution)
+
+        full = np.asarray(assemble_full_sdf(slabs))
+        fresh_vol = VoxelVolume(vol.resolution, vol.extends, sdf=full)
+        fresh = shard_volume(fresh_vol, 4)
+        np.testing.assert_array_equal(np.asarray(resynced.accel),
+                                      np.asarray(fresh.accel))
+        np.testing.assert_array_equal(np.asarray(resynced.sdf),
+                                      np.asarray(fresh.sdf))
+        for f in ("x_voxel0", "cell_lo", "cell_hi", "n"):
+            np.testing.assert_array_equal(np.asarray(getattr(resynced, f)),
+                                          np.asarray(getattr(fresh, f)))
+
+    def test_resync_then_march_matches_replicated(self):
+        from vrt.dist.brick import assemble_full_sdf, resync_slabs
+        vol = _volume()
+        slabs = shard_volume(vol, 4)
+        rng = np.random.default_rng(5)
+        bumped = (np.asarray(slabs.sdf)
+                  + rng.normal(scale=2.0, size=slabs.sdf.shape)
+                  .astype(np.float32))
+        slabs = resync_slabs(
+            dataclasses.replace(slabs, sdf=jnp.asarray(bumped)),
+            vol.resolution)
+
+        full = np.asarray(assemble_full_sdf(slabs))
+        dv = DeviceVolume.from_volume(
+            VoxelVolume(vol.resolution, vol.extends, sdf=full))
+        o, d = _rays(96, seed=8)
+        tm = jnp.full(96, 1e4, jnp.float32)
+        ref = march_volume(dv, o, d, tm)
+
+        mesh = make_render_mesh(1, 8)
+        from vrt.dist.mesh import MODEL_AXIS
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(MODEL_AXIS), P(), P(), P()),
+                 out_specs=P())
+        def sharded(slabs, o, d, tm):
+            slab = jax.tree.map(lambda x: x[0], slabs)
+            hit = march_volume_slab(slab, o, d, tm)
+            return combine_hits(hit, MODEL_AXIS)
+
+        slabs8 = shard_volume(
+            VoxelVolume(vol.resolution, vol.extends, sdf=full), 8)
+        got = sharded(slabs8, o, d, tm)
+        np.testing.assert_array_equal(np.asarray(got.hit),
+                                      np.asarray(ref.hit))
+        h = np.asarray(ref.hit)
+        np.testing.assert_allclose(np.asarray(got.t)[h],
+                                   np.asarray(ref.t)[h], rtol=1e-5)

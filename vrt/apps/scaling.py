@@ -1,0 +1,123 @@
+"""Scaling-efficiency harness for the model-parallel slab fit
+(BASELINE config 5: a 512^3-class brick-sharded SDF, rays sharded over the
+mesh, halo exchange + overlapped grad all-reduce).
+
+Measures one `make_slab_fit_step` at model = 1, 2, ..., N on the available
+device mesh (real chips, or the virtual CPU mesh via
+``XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu``)
+and reports
+
+    efficiency(S) = t(1) / (S * t(S))
+
+— the fraction of perfect model-parallel speedup retained.  On a single
+host this measures the *work partition* (per-shard compute shrinking with
+S, chord-retired rays, halo overhead); cross-host ICI/DCN latency adds on
+real pods.  Prints one JSON line per S plus a summary line.
+
+Usage: python -m vrt.apps.scaling [--res 9] [--rays 4096] [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_volume(resolution: int):
+    """Analytic CSG bake at n = 2^res + 1 (vectorized, no Python loops)."""
+    import numpy as np
+
+    from vrt.volume import sdf as S
+    from vrt.volume.volume import VoxelVolume
+
+    ext = 100.0
+    csg = S.CSG(shape=S.Sphere(radius=0.62 * ext))
+    csg.add_child(S.Box(extends=(0.75 * ext, 0.3 * ext, 0.3 * ext),
+                        position=np.array([0.0, 0.0, 0.45 * ext],
+                                          np.float32)), S.ADD)
+    csg.add_child(S.Sphere(radius=0.35 * ext,
+                           position=np.array([0.3 * ext, 0.0, 0.0],
+                                             np.float32)), S.SUBTRACT)
+    return VoxelVolume.from_generator(csg, resolution, ext)
+
+
+def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vrt.core import quat as vq
+    from vrt.dist.brick import shard_volume
+    from vrt.dist.brick_fit import make_slab_fit_step
+    from vrt.dist.mesh import make_render_mesh
+
+    n_dev = len(jax.devices())
+    if shard_counts is None:
+        shard_counts = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
+
+    vol = build_volume(resolution)
+    n = vol.n_voxels
+    print(f"# volume {n}^3 ({n ** 3 * 4 / 1e9:.2f} GB f32), "
+          f"{n_rays} rays, {n_dev} devices", flush=True)
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    o = (-dirs * rng.uniform(250.0, 400.0, size=(n_rays, 1))
+         ).astype(np.float32)
+    o += rng.normal(scale=40.0, size=(n_rays, 3)).astype(np.float32)
+    o = jnp.asarray(o)
+    d = jnp.asarray(dirs)
+    targets = jnp.full((n_rays, 3), 0.4, jnp.float32)
+    light = np.asarray(vq.forward_vector(
+        vq.from_euler_degrees(0.0, 45.0, -30.0)))
+
+    results = []
+    t1 = None
+    for s_count in shard_counts:
+        mesh = make_render_mesh(1, s_count, jax.devices()[:s_count])
+        slabs = shard_volume(vol, s_count)
+        optimizer = optax.adam(1e-2)
+        step = make_slab_fit_step(mesh, optimizer, light)
+        params = slabs.sdf
+        state = optimizer.init(params)
+        # warmup/compile
+        params, state, loss = step(params, state, slabs, o, d, targets)
+        loss = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, state, loss_j = step(params, state, slabs, o, d,
+                                         targets)
+        loss = float(loss_j)  # queue drain
+        dt = (time.perf_counter() - t0) / steps
+        if t1 is None:
+            t1 = dt
+        eff = t1 / (s_count * dt)
+        row = {"model_shards": s_count, "step_s": round(dt, 4),
+               "loss": round(loss, 6), "efficiency": round(eff, 3)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps({
+        "metric": f"slab-fit scaling efficiency ({n}^3 SDF, "
+                  f"{n_rays} rays)",
+        "best_shards": results[-1]["model_shards"],
+        "efficiency": results[-1]["efficiency"]}), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=9,
+                    help="volume resolution r (n = 2^r + 1; 9 -> 513^3)")
+    ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--shards", type=int, nargs="*", default=None)
+    args = ap.parse_args()
+    run(args.res, args.rays, args.steps, args.shards)
+
+
+if __name__ == "__main__":
+    main()

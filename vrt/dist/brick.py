@@ -214,6 +214,19 @@ def march_volume_slab(slab: SlabVolume, o, d, t_max) -> MarchHit:
     ok, t_enter, t_exit = ray_aabb(o, d, -ext[..., None], ext[..., None],
                                    t_max)
 
+    # Per-shard chord retirement: this shard only ever reports hits inside
+    # its owned x-interval, so rays whose chord misses the owned slab box
+    # entirely are deactivated before the while_loop (they would otherwise
+    # keep the lockstep loop alive crossing the giant nodes), and the
+    # effective t_exit is clamped to the slab-box exit + one cell of slack
+    # (covers the +0.1 node-exit/entry biases: a bracket that can still
+    # contain an owned-cell root always starts before this).
+    slab_lo = jnp.stack([lo_plane, -ext, -ext], axis=-1)
+    slab_hi = jnp.stack([hi_plane, ext, ext], axis=-1)
+    slab_ok, _, slab_exit = ray_aabb(o, d, slab_lo, slab_hi, t_max)
+    ok = ok & slab_ok
+    t_exit = jnp.minimum(t_exit, slab_exit + h)
+
     pos_branch = t_enter >= 0.0
     t_enter_b = jnp.where(pos_branch, t_enter + 0.01, t_enter)
     entry_pos = o + d * t_enter_b[..., None]
@@ -357,6 +370,45 @@ def exchange_halos(slab: SlabVolume, axis: str) -> SlabVolume:
     new = new.at[span - hl:].set(
         jnp.where(idx < size - 1, from_right, new[span - hl:]))
     return dataclasses.replace(slab, sdf=new)
+
+
+def assemble_full_sdf(slabs: SlabVolume) -> jax.Array:
+    """Reconstruct the full [N,N,N] SDF from the stacked slab pytree's OWNED
+    planes (shard s owns voxel planes [cell_lo, cell_hi); the last shard
+    additionally provides the final plane).  jnp ops only, so it runs under
+    jit and respects whatever sharding the stacked arrays carry."""
+    span = slabs.sdf.shape[1]
+    cps = span - 1 - 2 * HALO
+    owned = slabs.sdf[:, HALO:HALO + cps]           # [S, cps, N, N]
+    last = slabs.sdf[-1, HALO + cps]                # final voxel plane
+    return jnp.concatenate(
+        [owned.reshape(-1, *owned.shape[2:]), last[None]], axis=0)
+
+
+def resync_slabs(slabs: SlabVolume, resolution: int) -> SlabVolume:
+    """Epoch-boundary traversal resync (the documented brick_fit workflow):
+    gather owned planes into the full grid, rebuild the skip-level accel
+    over the CURRENT geometry, and re-slice SDF + accel into the slab
+    layout.  Pure jnp (usable under jit); equals ``shard_volume`` on a
+    volume holding the assembled SDF.
+    """
+    full = assemble_full_sdf(slabs)
+    n = full.shape[0]
+    cells = n - 1
+    n_shards = slabs.sdf.shape[0]
+    cps = cells // n_shards
+    span = cps + 1 + 2 * HALO
+
+    accel_full = build_accel(full, resolution)
+
+    pad = jnp.full((HALO,) + full.shape[1:], DEFAULT_DENSITY, full.dtype)
+    padded = jnp.concatenate([pad, full, pad], axis=0)
+    sdf = jnp.stack([jax.lax.dynamic_slice_in_dim(padded, s * cps, span, 0)
+                     for s in range(n_shards)])
+    accel = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(accel_full, s * cps, cps, 0)
+        for s in range(n_shards)])
+    return dataclasses.replace(slabs, sdf=sdf, accel=accel)
 
 
 def resolve_slab_hits(slab: SlabVolume, o, d, hit: MarchHit):

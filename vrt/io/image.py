@@ -66,27 +66,46 @@ def read_png(path: str) -> np.ndarray:
             break
     raw = zlib.decompress(idat)
     stride = w * channels
+    out = _png_unfilter(raw, h, stride, channels)
+    return out.reshape(h, w, channels)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int,
+                  channels: int) -> np.ndarray:
+    """Reconstruct PNG scanlines (filters 0-4).  The sub/avg/paeth filters
+    are serial byte recurrences along the row, so real asset sizes decode
+    through the native C++ kernel; the NumPy path vectorizes what it can
+    (none/up fully; sub via per-channel cumsum) and only falls back to the
+    scalar loop for avg/paeth rows when the native lib is unavailable."""
+    from vrt.native import lib as _native
+
+    if _native:
+        return _native.png_unfilter(raw, h, stride, channels)
+
+    lines = np.frombuffer(raw, np.uint8, h * (stride + 1)).reshape(
+        h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:]
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
-    off = 0
     for y in range(h):
-        f = raw[off]
-        line = np.frombuffer(raw[off + 1:off + 1 + stride],
-                             np.uint8).astype(np.int32)
-        off += 1 + stride
+        f = filters[y]
+        line = data[y].astype(np.int32)
         if f == 0:
             cur = line
         elif f == 2:  # up
             cur = (line + prev) & 0xFF
-        else:
+        elif f == 1:  # sub: per-channel cumulative sum mod 256
+            cur = np.cumsum(line.reshape(-1, channels), axis=0,
+                            dtype=np.int64).reshape(-1).astype(np.int32)
+            cur &= 0xFF
+        else:  # avg / paeth: serial in the reconstructed bytes
             cur = np.zeros(stride, np.int32)
             for i in range(stride):
                 a = cur[i - channels] if i >= channels else 0
                 b = prev[i]
                 c = prev[i - channels] if i >= channels else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) // 2
                 elif f == 4:
                     p = a + b - c
@@ -98,7 +117,7 @@ def read_png(path: str) -> np.ndarray:
                 cur[i] = (line[i] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, channels)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -124,33 +143,37 @@ _FOURCC_DXT1 = b"DXT1"
 
 
 def _decode_dxt1(data: bytes, w: int, h: int) -> np.ndarray:
-    out = np.zeros((h, w, 3), np.uint8)
+    """Block-parallel BC1 decode: all blocks' palettes and 2-bit indices are
+    computed as NumPy arrays at once (no per-pixel Python)."""
     bw, bh = (w + 3) // 4, (h + 3) // 4
-    pos = 0
-    for by in range(bh):
-        for bx in range(bw):
-            c0, c1, bits = struct.unpack_from("<HHI", data, pos)
-            pos += 8
-            r0, g0, b0 = ((c0 >> 11) * 255 // 31, ((c0 >> 5) & 63) * 255 // 63,
-                          (c0 & 31) * 255 // 31)
-            r1, g1, b1 = ((c1 >> 11) * 255 // 31, ((c1 >> 5) & 63) * 255 // 63,
-                          (c1 & 31) * 255 // 31)
-            pal = np.zeros((4, 3), np.int32)
-            pal[0] = (r0, g0, b0)
-            pal[1] = (r1, g1, b1)
-            if c0 > c1:
-                pal[2] = (2 * pal[0] + pal[1]) // 3
-                pal[3] = (pal[0] + 2 * pal[1]) // 3
-            else:
-                pal[2] = (pal[0] + pal[1]) // 2
-                pal[3] = 0
-            for py in range(4):
-                for px in range(4):
-                    y, x = by * 4 + py, bx * 4 + px
-                    if y < h and x < w:
-                        idx = (bits >> (2 * (py * 4 + px))) & 3
-                        out[y, x] = pal[idx]
-    return out
+    nb = bw * bh
+    raw = np.frombuffer(data, np.uint8, nb * 8).reshape(nb, 8)
+    c0 = raw[:, 0].astype(np.uint32) | (raw[:, 1].astype(np.uint32) << 8)
+    c1 = raw[:, 2].astype(np.uint32) | (raw[:, 3].astype(np.uint32) << 8)
+    bits = (raw[:, 4].astype(np.uint32)
+            | (raw[:, 5].astype(np.uint32) << 8)
+            | (raw[:, 6].astype(np.uint32) << 16)
+            | (raw[:, 7].astype(np.uint32) << 24))
+
+    def rgb565(c):
+        return np.stack([(c >> 11) * 255 // 31,
+                         ((c >> 5) & 63) * 255 // 63,
+                         (c & 31) * 255 // 31], axis=-1).astype(np.int32)
+
+    p0, p1 = rgb565(c0), rgb565(c1)                      # [NB,3]
+    four = (c0 > c1)[:, None]
+    p2 = np.where(four, (2 * p0 + p1) // 3, (p0 + p1) // 2)
+    p3 = np.where(four, (p0 + 2 * p1) // 3, 0)
+    pal = np.stack([p0, p1, p2, p3], axis=1)             # [NB,4,3]
+
+    shifts = 2 * np.arange(16, dtype=np.uint32)          # py*4+px order
+    idx = (bits[:, None] >> shifts[None, :]) & 3         # [NB,16]
+    texels = np.take_along_axis(pal, idx[..., None].astype(np.int64),
+                                axis=1)                  # [NB,16,3]
+    # [bh,bw,py,px,3] -> [bh,py,bw,px,3] -> padded image
+    img = texels.reshape(bh, bw, 4, 4, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(bh * 4, bw * 4, 3).astype(np.uint8)
+    return img[:h, :w]
 
 
 def write_dds_cubemap(path: str, env: np.ndarray) -> None:

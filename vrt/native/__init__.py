@@ -36,6 +36,10 @@ class _NativeLib:
         dll.vrt_decode_voxels.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
+        dll.vrt_png_unfilter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        dll.vrt_png_unfilter.restype = ctypes.c_int
 
     def voxelize(self, vertices, indices, resolution, extends):
         verts = np.ascontiguousarray(vertices, np.float64)
@@ -72,6 +76,18 @@ class _NativeLib:
             mats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out.tobytes()
+
+    def png_unfilter(self, raw: bytes, h: int, stride: int, channels: int):
+        raw_arr = np.frombuffer(raw, np.uint8, h * (stride + 1))
+        raw_arr = np.ascontiguousarray(raw_arr)
+        out = np.empty((h, stride), np.uint8)
+        rc = self._dll.vrt_png_unfilter(
+            raw_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h, stride, channels,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise ValueError("bad PNG filter byte")
+        return out
 
     def decode_voxels(self, buf, n):
         raw = np.frombuffer(buf, np.uint8, n * n * n * 8)

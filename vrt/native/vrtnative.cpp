@@ -261,4 +261,58 @@ void vrt_decode_voxels(const uint8_t* in, int64_t n,
     }
 }
 
+// PNG unfilter (spec filters 0-4): `raw` is the zlib-decompressed stream of
+// h scanlines, each 1 filter byte + stride bytes; writes h*stride
+// reconstructed bytes.  The sub/avg/paeth recurrences are serial per row —
+// the reason this lives in C++ instead of NumPy.  Returns 0 on success.
+int vrt_png_unfilter(const uint8_t* raw, int64_t h, int64_t stride,
+                     int channels, uint8_t* out) {
+    std::vector<uint8_t> zero(stride, 0);
+    const uint8_t* prev = zero.data();
+    for (int64_t y = 0; y < h; y++) {
+        const uint8_t* line = raw + y * (stride + 1);
+        uint8_t f = line[0];
+        const uint8_t* src = line + 1;
+        uint8_t* cur = out + y * stride;
+        switch (f) {
+            case 0:
+                std::memcpy(cur, src, stride);
+                break;
+            case 1:
+                for (int64_t i = 0; i < stride; i++) {
+                    uint8_t a = i >= channels ? cur[i - channels] : 0;
+                    cur[i] = uint8_t(src[i] + a);
+                }
+                break;
+            case 2:
+                for (int64_t i = 0; i < stride; i++)
+                    cur[i] = uint8_t(src[i] + prev[i]);
+                break;
+            case 3:
+                for (int64_t i = 0; i < stride; i++) {
+                    int a = i >= channels ? cur[i - channels] : 0;
+                    cur[i] = uint8_t(src[i] + ((a + prev[i]) >> 1));
+                }
+                break;
+            case 4:
+                for (int64_t i = 0; i < stride; i++) {
+                    int a = i >= channels ? cur[i - channels] : 0;
+                    int b = prev[i];
+                    int c = i >= channels ? prev[i - channels] : 0;
+                    int p = a + b - c;
+                    int pa = std::abs(p - a), pb = std::abs(p - b),
+                        pc = std::abs(p - c);
+                    int pred = (pa <= pb && pa <= pc) ? a
+                               : (pb <= pc ? b : c);
+                    cur[i] = uint8_t(src[i] + pred);
+                }
+                break;
+            default:
+                return 1;
+        }
+        prev = cur;
+    }
+    return 0;
+}
+
 }  // extern "C"

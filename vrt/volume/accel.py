@@ -105,12 +105,45 @@ def build_accel_chebyshev(sdf, resolution: int = 0):
     the cube of half-extent ``d-1`` centered on ``c`` — generally a larger
     jump than the aligned power-of-two block of the octree-equivalent field,
     at identical hit results (skipped cubes are surface-free by
-    construction).  Host-side build (scipy distance transform); the in-jit
-    fit path keeps the octree-equivalent field.
+    construction).  Host-side dependency-free build: iterated separable
+    cube dilations (the L-inf ball of radius k is k chained radius-1 cube
+    dilations, each 3 axis-wise window-3 maxima); distances are capped at
+    127 (the bf16-packable skip budget — a smaller skip is always
+    traversal-safe).  The in-jit fit path keeps the octree-equivalent field.
     """
-    from scipy import ndimage
-
     has_surface = np.asarray(cell_corner_signs_differ(sdf))
-    dist = ndimage.distance_transform_cdt(
-        ~has_surface, metric="chessboard").astype(np.int32)
-    return (dist << 1) | has_surface.astype(np.int32)
+    return (_chebyshev_dt(has_surface) << 1) | has_surface.astype(np.int32)
+
+
+def _chebyshev_dt(mask: np.ndarray, cap: int = 127) -> np.ndarray:
+    """Chessboard (L-inf) distance to the nearest True cell, capped.
+
+    All-False masks return ``cap`` everywhere.
+    """
+    covered = mask.astype(bool)
+    dist = np.where(covered, 0, cap).astype(np.int32)
+
+    def dilate1(m):
+        for ax in range(3):
+            lo = np.roll(m, 1, axis=ax)
+            hi = np.roll(m, -1, axis=ax)
+            # zero out the wrap-around planes
+            sl_lo = [slice(None)] * 3
+            sl_lo[ax] = slice(0, 1)
+            sl_hi = [slice(None)] * 3
+            sl_hi[ax] = slice(-1, None)
+            lo[tuple(sl_lo)] = False
+            hi[tuple(sl_hi)] = False
+            m = m | lo | hi
+        return m
+
+    for k in range(1, cap):
+        if covered.all():
+            break
+        grown = dilate1(covered)
+        newly = grown & ~covered
+        if not newly.any():
+            break
+        dist[newly] = k
+        covered = grown
+    return dist
