@@ -100,14 +100,45 @@ def main():
         hit, inst = march_scene(scene, o, d, t_max, True)
         return hit.t
 
+    pad = (-r) % CHUNK
     os_, ds_ = o[perm], d[perm]
+    if pad:
+        os_ = jnp.concatenate([os_, jnp.zeros((pad, 3), os_.dtype)])
+        ds_ = jnp.concatenate([ds_, jnp.ones((pad, 3), ds_.dtype)])
+        t_pad = jnp.concatenate([t_max, jnp.full(pad, -jnp.inf)])
+    else:
+        t_pad = t_max
     oc = os_.reshape(-1, CHUNK, 3)
     dc = ds_.reshape(-1, CHUNK, 3)
-    tc = t_max.reshape(-1, CHUNK)
+    tc = t_pad.reshape(-1, CHUNK)
     march_f = jax.jit(lambda s, oc, dc, tc: jax.lax.map(
         lambda x: march_only(s, *x), (oc, dc, tc)))
     dt = timeit(march_f, scene, oc, dc, tc)
     print(f"primary march (sorted):    {dt*1e3:8.1f} ms", flush=True)
+
+    # -- roofline: per-lane step counts from the instrumented march ----------
+    def march_stats(scene, oc, dc, tc):
+        def one(x):
+            hit, _ = march_scene(scene, *x, True)
+            return hit.steps, hit.hit
+        return jax.lax.map(one, (oc, dc, tc))
+
+    stats_f = jax.jit(march_stats)
+    steps, hits = stats_f(scene, oc, dc, tc)
+    steps = np.asarray(steps)          # [chunks, CHUNK] active steps/lane
+    hits = np.asarray(hits)
+    iters = steps.max(axis=1)          # per-chunk while_loop trip count
+    active_steps = int(steps.sum())
+    total_lane_steps = int((iters * CHUNK).sum())
+    bpf = 20 if fast else 36           # bf16 9ch corner row (+i32 accel in
+    #                                    channel 9) vs f32
+    print(f"primary march steps: active {active_steps/r:.1f}/ray, "
+          f"lockstep {total_lane_steps/r:.1f}/ray "
+          f"(divergence waste {total_lane_steps/max(active_steps,1):.2f}x)",
+          flush=True)
+    gb = total_lane_steps * bpf / 1e9
+    print(f"primary gather traffic: {gb:.2f} GB/frame "
+          f"({active_steps*bpf/1e9:.2f} GB useful)", flush=True)
 
     # -- single-volume march rate (accel modes) ------------------------------
     from vrt.march.types import DeviceVolume

@@ -45,4 +45,4 @@ class TestGoldenImage:
         # edges); the bulk of the image must match tightly
         assert np.quantile(diff, 0.98) < 5e-3, np.quantile(diff, 0.98)
         assert diff.mean() < 2e-3, diff.mean()
-        assert (diff.max(axis=-1) > 0.05).mean() < 0.02  # <2% outlier pixels
+        assert (diff.max(axis=-1) > 0.05).mean() < 0.01  # <1% outlier pixels

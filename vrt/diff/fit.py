@@ -117,12 +117,19 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
             # remat per chunk: without it lax.map stacks every chunk's
             # shading residuals across the whole frame (OOM at 1080p);
             # the backward recomputes one chunk's forward at a time.
+            # The save_only_these_names("march") policy pins every
+            # march_scene output (hit records, ~36 B/ray) as a SAVED
+            # residual, so the chunk replay re-runs only the resolve/shade
+            # math — the traversal while_loops (the dominant forward cost)
+            # never execute in the backward pass.
             # lax.cond skips all-sky chunks in BOTH the forward and the
             # backward (their radiance is exactly the env sample either
             # way, so values and env-gradients agree between branches).
             from vrt.shade import texture as _tex
 
-            @jax.checkpoint
+            @partial(jax.checkpoint,
+                     policy=jax.checkpoint_policies.save_only_these_names(
+                         "march"))
             def traced(od):
                 oc, dc = od
                 return jax.lax.cond(
@@ -135,7 +142,7 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
                 traced,
                 (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
             rgb = rgb.reshape(-1, 3)[:total]
-            rgb = jnp.zeros_like(rgb).at[perm].set(rgb)
+            rgb = rgb[jnp.argsort(perm)]  # inverse perm: sort beats scatter
             imgs.append(tonemap(rgb))
         else:
             imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))

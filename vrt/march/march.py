@@ -209,11 +209,12 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
             o, d, jnp.where(pos_branch, t_enter_b, t_enter), ext_v)
 
     def cond(state):
-        it, _, _, act, _, _ = state
+        it, _, _, act, _, _, _ = state
         return jnp.any(act) & (it < MAX_ITERATIONS)
 
     def body(state):
-        it, cell, cell_exit, act, face, res = state
+        it, cell, cell_exit, act, face, res, n_steps = state
+        n_steps = n_steps + act.astype(jnp.int32)
 
         past_exit = cell_exit > t_exit
         act2 = act & ~past_exit
@@ -286,11 +287,13 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         new_active = act2 & valid & ~stopped
         cell = jnp.where(new_active[..., None], next_cell, cell)
         cell_exit = jnp.where(new_active, new_exit, cell_exit)
-        return (it + 1, cell, cell_exit, new_active, face, res)
+        return (it + 1, cell, cell_exit, new_active, face, res, n_steps)
 
     it0 = jnp.asarray(0, jnp.int32)
-    _, _, _, still_active, _, result = jax.lax.while_loop(
-        cond, body, (it0, cell0, cell_exit0, active, cur_face, result))
+    steps0 = jnp.zeros_like(cell0[..., 0])
+    _, _, _, still_active, _, result, n_steps = jax.lax.while_loop(
+        cond, body, (it0, cell0, cell_exit0, active, cur_face, result,
+                     steps0))
 
     # 255-iteration exhaustion: unlit red hit at t = 10.
     acc = still_active & (EXHAUSTED_T <= t_max)
@@ -302,7 +305,9 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         face_normal=jnp.where(acc[..., None],
                               jnp.asarray([1.0, 0.0, 0.0]),
                               result.face_normal))
-    return result
+    import dataclasses as _dc
+
+    return _dc.replace(result, steps=n_steps)
 
 
 def _make_corner_fetch(vol: DeviceVolume, fetch):

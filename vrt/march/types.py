@@ -133,6 +133,10 @@ class MarchHit:
     t_in: jax.Array         # f32 bracket entry used for the cubic
     t_out: jax.Array        # f32 bracket exit used for the cubic
     face_normal: jax.Array  # f32 [R,3] face normal (solid-entry / cube kinds)
+    # march iterations this lane was ACTIVE for (roofline accounting:
+    # active-lane gather work).  None when the producing path doesn't
+    # instrument (select/tree ops must strip it first in that case).
+    steps: jax.Array | None = None
 
     @classmethod
     def none(cls, r: int) -> "MarchHit":
