@@ -66,6 +66,24 @@ def main():
     print(f"full frame (sorted, chunk {CHUNK}): {dt*1e3:8.1f} ms "
           f"= {r/dt/1e6:.2f}M rays/s", flush=True)
 
+    # -- decomposition: unlit (no shadow/bounce) and lit-no-bounce ----------
+    import dataclasses as _dc
+
+    mode_unlit = RenderMode(lit=False)
+    f_unlit = jax.jit(lambda s: render_image(s, WIDTH, HEIGHT, mode_unlit,
+                                             chunk_size=CHUNK,
+                                             sort_rays=True))
+    dt = timeit(f_unlit, scene)
+    print(f"frame unlit (march+resolve+albedo):    {dt*1e3:8.1f} ms",
+          flush=True)
+
+    scene_norefl = _dc.replace(scene, any_reflective=False)
+    f_nb = jax.jit(lambda s: render_image(s, WIDTH, HEIGHT, mode,
+                                          chunk_size=CHUNK, sort_rays=True))
+    dt = timeit(f_nb, scene_norefl)
+    print(f"frame lit, bounce pass disabled:       {dt*1e3:8.1f} ms",
+          flush=True)
+
     # -- frame without sorting ----------------------------------------------
     f_frame_ns = jax.jit(lambda s: render_image(s, WIDTH, HEIGHT, mode,
                                                 chunk_size=CHUNK,

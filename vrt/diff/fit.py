@@ -45,12 +45,16 @@ def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
             # traversal topology itself must track the update)
             from vrt.march.types import pack_cell_corners
 
-            accel_ch = vols.corners[..., 8].astype(jnp.int32)
             dt = vols.corners.dtype
-            vols = dataclasses.replace(
-                vols, corners=jax.vmap(
+            if vols.corners.shape[-1] > 8:
+                accel_ch = vols.corners[..., 8].astype(jnp.int32)
+                repack = jax.vmap(
                     lambda s, a: pack_cell_corners(s, a, dtype=dt))(
-                        params["sdf"], accel_ch))
+                        params["sdf"], accel_ch)
+            else:
+                repack = jax.vmap(
+                    lambda s: pack_cell_corners(s, dtype=dt))(params["sdf"])
+            vols = dataclasses.replace(vols, corners=repack)
     scene = dataclasses.replace(scene, volumes=vols)
     direct = {k: v for k, v in params.items()
               if k not in ("sdf",) and hasattr(scene, k)}
@@ -78,8 +82,12 @@ def rebuild_accel(scene: GPUScene) -> GPUScene:
         # the SDF through the packing slices (the march still consumes the
         # packed table under its own stop_gradient)
         dt = corners.dtype
-        corners = jax.vmap(lambda s, a: pack_cell_corners(s, a, dtype=dt))(
-            sdf, accel)
+        if corners.shape[-1] > 8:
+            corners = jax.vmap(
+                lambda s, a: pack_cell_corners(s, a, dtype=dt))(sdf, accel)
+        else:
+            corners = jax.vmap(
+                lambda s: pack_cell_corners(s, dtype=dt))(sdf)
     return dataclasses.replace(
         scene, volumes=dataclasses.replace(scene.volumes, accel=accel,
                                            corners=corners,

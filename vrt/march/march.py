@@ -95,13 +95,25 @@ def _exit_with_axis(o, d, node_pos, node_size):
     return jnp.where(first, t_a, t_b), jnp.where(first, ax_a, ax_b)
 
 
+def _accel_u8(accel):
+    """Packed accel field as flat uint8 for the traversal's per-step gather.
+
+    Narrow flat gathers run ~2x faster than the wide corner rows on v5e
+    (scripts/probe_table_cliff.py: u8[128^3] 121 M rows/s vs 18 B rows at
+    67 M), and a 129^3 u8 field (2 MB) stays VMEM-resident.  Skip distances
+    clamp to 127 so the packed value fits 8 bits — a smaller skip is always
+    traversal-safe.  XLA hoists the conversion out of the march loop."""
+    av = accel.reshape(-1).astype(jnp.int32)
+    return ((jnp.minimum(av >> 1, 127) << 1) | (av & 1)).astype(jnp.uint8)
+
+
 def _gather_accel(accel, n_cells, cell):
     """Packed accel gather; out-of-range cells read 0."""
     valid = jnp.all((cell >= 0) & (cell < n_cells), axis=-1)
     c = accel.shape[0]
     ic = jnp.clip(cell, 0, c - 1)
     flat = ic[..., 0] * (c * c) + ic[..., 1] * c + ic[..., 2]
-    vals = jnp.take(accel.reshape(-1), flat, axis=0)
+    vals = jnp.take(_accel_u8(accel), flat, axis=0).astype(jnp.int32)
     return jnp.where(valid, vals, 0)
 
 
@@ -132,9 +144,17 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 debug_overlay: bool) -> MarchHit:
     """The march loop over lanes with (possibly per-lane) volume geometry.
 
-    corner_fetch(cell) -> (v8 [L,8], accel [L]); voxel_fetch(cell) -> [L];
-    accel_fetch(cell) -> [L] (cube-mode node lookup); n_l/h_l/ext_l are
+    corner_fetch(cell) -> v8 [L,8]; voxel_fetch(cell) -> [L];
+    accel_fetch(cell) -> [L] packed accel; n_l/h_l/ext_l are
     scalars or [L] lane arrays.
+
+    Split-phase fetch: every step gathers only the 1-byte packed accel
+    (node skip + surface flag); the 8-corner row needed for root finding
+    is gathered under a ``lax.cond`` that fires only on iterations where
+    some lane actually sits in a surface-flagged cell.  The march is ~98%
+    gather-bound on TPU (scripts/probe_march_body.py), so traversal steps
+    paying 1 byte instead of an 16-36 B row is the dominant win; the cell
+    walk, biases, and root brackets are unchanged (bit-identical hits).
     """
     as_lane = (lambda x: x) if jnp.ndim(n_l) == 0 else (lambda x: x)
     n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
@@ -188,7 +208,7 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
     entry_norm = _entry_face_normal(o, d, t_enter_b, ext_v)
 
     if interp:
-        corners0, _ = corner_fetch(cell0)
+        corners0 = corner_fetch(cell0)
         solid0 = jnp.all(corners0 < 0.0, axis=-1)
         rep = active & valid0 & solid0
         acc = rep & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
@@ -221,15 +241,9 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
 
         cell_enter = cell_exit
 
-        if interp:
-            valid = is_valid_cell(cell)
-            # fused single gather: corners + packed accel
-            v8, av = corner_fetch(cell)
-            _, has_surf, node_pos, node_size = node_from_accel(cell, av)
-        else:
-            valid = is_valid_voxel(cell)
-            av = accel_fetch(cell)
-            _, has_surf, node_pos, node_size = node_from_accel(cell, av)
+        valid = is_valid_cell(cell) if interp else is_valid_voxel(cell)
+        av = accel_fetch(cell)
+        _, has_surf, node_pos, node_size = node_from_accel(cell, av)
 
         if debug_overlay:
             # SHADER_DEBUG: unlit red hit on octree-node borders
@@ -249,15 +263,26 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         next_cell = pos_to_cell(o + d * new_exit[..., None])
 
         if interp:
-            p_in = o + d * cell_enter[..., None]
-            p_out = o + d * new_exit[..., None]
-            cell_base = cell.astype(jnp.float32) * h_v - ext_v
-            a1 = (p_in - cell_base) / node_size[..., None]
-            b1 = (p_out - cell_base) / node_size[..., None] - a1
-            A, B, C, D = iso.cubic_coefficients(v8, a1, b1)
-            root_hit, t_hit = iso.surface_intersection(
-                A, B, C, D, cell_enter, new_exit)
-            rep = act2 & valid & has_surf & root_hit
+            cand = act2 & valid & has_surf
+
+            def do_root(_):
+                v8 = corner_fetch(cell)
+                p_in = o + d * cell_enter[..., None]
+                p_out = o + d * new_exit[..., None]
+                cell_base = cell.astype(jnp.float32) * h_v - ext_v
+                a1 = (p_in - cell_base) / node_size[..., None]
+                b1 = (p_out - cell_base) / node_size[..., None] - a1
+                A, B, C, D = iso.cubic_coefficients(v8, a1, b1)
+                return iso.surface_intersection(A, B, C, D, cell_enter,
+                                                new_exit)
+
+            def no_root(_):
+                z = jnp.zeros_like(cell_enter)
+                return z != 0.0, z
+
+            root_hit, t_hit = jax.lax.cond(jnp.any(cand), do_root, no_root,
+                                           None)
+            rep = cand & root_hit
             acc = rep & (t_hit >= 0.0) & (t_hit <= t_max)
             res = MarchHit(
                 hit=jnp.where(acc, True, res.hit),
@@ -311,15 +336,13 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
 
 
 def _make_corner_fetch(vol: DeviceVolume, fetch):
-    """Per-cell fused fetch: (8 corner values, packed accel value) from ONE
-    contiguous 9-float gather when the packed layout is present, else 8
-    scattered voxel gathers + a separate accel gather.
-    Out-of-range cells return zeros (their values are always masked)."""
+    """Per-cell corner fetch: the 8 cell-corner values from ONE contiguous
+    aligned gather when the packed layout is present, else 8 scattered
+    voxel gathers.  Out-of-range cells return zeros (always masked).
+    Only root-finding iterations pay this fetch (see ``_march_core``)."""
     if vol.corners is None:
         def legacy(cell):
-            v8 = iso.gather_corners(fetch, cell)
-            av = _gather_accel(vol.accel, vol.n - 1, cell)
-            return v8, av
+            return iso.gather_corners(fetch, cell)
 
         return legacy
     cc = vol.corners.shape[0]
@@ -330,10 +353,8 @@ def _make_corner_fetch(vol: DeviceVolume, fetch):
         valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
         ic = jnp.clip(cell, 0, cc - 1)
         idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
-        vals = jnp.where(valid[..., None], flat[idx], 0.0)
-        if ch > 8:
-            return vals[..., :8], vals[..., 8].astype(jnp.int32)
-        return vals, _gather_accel(vol.accel, vol.n - 1, cell)
+        vals = jnp.where(valid[..., None], flat[idx][..., :8], 0.0)
+        return vals
 
     return corner_fetch
 
@@ -402,14 +423,15 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
     fetch = iso.make_stacked_fetch(vols.sdf, n_l, vol_ids)
 
     cc = vols.accel.shape[1]
-    accel_flat = vols.accel.reshape(-1)
+    accel_flat = _accel_u8(vols.accel)
 
     def accel_fetch(cell):
         valid = jnp.all((cell >= 0) & (cell < (n_l - 1)[..., None]), axis=-1)
         ic = jnp.clip(cell, 0, cc - 1)
         flat = (vol_ids * (cc * cc * cc)
                 + (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2])
-        return jnp.where(valid, jnp.take(accel_flat, flat, axis=0), 0)
+        vals = jnp.take(accel_flat, flat, axis=0).astype(jnp.int32)
+        return jnp.where(valid, vals, 0)
 
     if vols.corners is not None:
         ccc = vols.corners.shape[1]
@@ -422,13 +444,11 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
             ic = jnp.clip(cell, 0, ccc - 1)
             idx = (vol_ids * (ccc * ccc * ccc)
                    + (ic[..., 0] * ccc + ic[..., 1]) * ccc + ic[..., 2])
-            vals = jnp.where(valid[..., None], corners_flat[idx], 0.0)
-            if ch > 8:
-                return vals[..., :8], vals[..., 8].astype(jnp.int32)
-            return vals, accel_fetch(cell)
+            return jnp.where(valid[..., None], corners_flat[idx][..., :8],
+                             0.0)
     else:
         def corner_fetch(cell):
-            return iso.gather_corners(fetch, cell), accel_fetch(cell)
+            return iso.gather_corners(fetch, cell)
 
     return _march_core(corner_fetch, fetch, accel_fetch, n_l, h_l, ext_l,
                        vols.accel_mode, o, d, t_max, interp, debug_overlay)

@@ -66,11 +66,12 @@ class DeviceVolume:
     n: jax.Array          # i32 [] actual voxels per axis
     cell_size: jax.Array  # f32 []
     extends: jax.Array    # f32 []
-    # Corner-packed SDF (+accel): corners[c] = the 8 cell-corner values of
-    # cell c plus the packed accel value as a 9th float channel — the
-    # march's per-step fetch (corners + skip level + surface flag) is ONE
-    # contiguous gather.  9x memory; None-able for memory-tight fitting.
-    corners: jax.Array | None = None  # f32 [N-1,N-1,N-1,9]
+    # Corner-packed SDF: corners[c] = the 8 cell-corner values of cell c —
+    # an aligned 16/32 B row so a root-finding iteration's fetch is ONE
+    # contiguous gather.  8x memory; None-able for memory-tight fitting.
+    # (Legacy 9-channel tables with a folded accel channel still load; the
+    # fetchers slice [..., :8].)
+    corners: jax.Array | None = None  # f32|bf16 [N-1,N-1,N-1,8]
     # Accel interpretation: 'octree' = aligned skip-level blocks (reference
     # traversal parity); 'chebyshev' = distance-map cubes (bigger skips,
     # identical hits).  Static: switching recompiles.
@@ -94,6 +95,12 @@ class DeviceVolume:
         n = vol.n_voxels
         pad_n = pad_to or n
         assert pad_n >= n
+        # The corner table is 8 channels exactly (an aligned 16/32 B row):
+        # the march's split-phase fetch reads the packed accel from its own
+        # flat uint8 gather every step and this row only on root-finding
+        # iterations (see vrt.march.march), so folding the accel in as a
+        # 9th channel would just misalign the row (measured 2.5-3x slower
+        # gathers, scripts/probe_gather3/4).
         sdf = np.asarray(vol.sdf, np.float32)
         mats = np.asarray(vol.voxel_materials, np.int32)
         if accel_mode == "chebyshev":
@@ -102,7 +109,7 @@ class DeviceVolume:
             accel = np.asarray(build_accel_chebyshev(sdf), np.int32)
         else:
             accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
-        corners = (pack_cell_corners(sdf, accel, dtype=march_dtype)
+        corners = (pack_cell_corners(sdf, dtype=march_dtype)
                    if pack_corners else None)
         if pad_n > n:
             p = pad_n - n
