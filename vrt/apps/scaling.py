@@ -43,6 +43,15 @@ def build_volume(resolution: int):
 
 
 def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # The axon sitecustomize pins the TPU platform at interpreter
+        # start; the explicit config update wins pre-initialization (same
+        # dance as tests/conftest.py and dryrun_multichip).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -141,20 +141,26 @@ def _entry_face_normal(o, d, t_enter, ext_v):
 
 def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 accel_mode: str, o, d, t_max, interp: bool,
-                debug_overlay: bool) -> MarchHit:
+                debug_overlay: bool, fused: bool = False) -> MarchHit:
     """The march loop over lanes with (possibly per-lane) volume geometry.
 
-    corner_fetch(cell) -> v8 [L,8]; voxel_fetch(cell) -> [L];
-    accel_fetch(cell) -> [L] packed accel; n_l/h_l/ext_l are
-    scalars or [L] lane arrays.
+    corner_fetch(cell) -> v8 [L,8] (or (v8, accel) when ``fused``);
+    voxel_fetch(cell) -> [L]; accel_fetch(cell) -> [L] packed accel;
+    n_l/h_l/ext_l are scalars or [L] lane arrays.
 
-    Split-phase fetch: every step gathers only the 1-byte packed accel
-    (node skip + surface flag); the 8-corner row needed for root finding
-    is gathered under a ``lax.cond`` that fires only on iterations where
-    some lane actually sits in a surface-flagged cell.  The march is ~98%
-    gather-bound on TPU (scripts/probe_march_body.py), so traversal steps
-    paying 1 byte instead of an 16-36 B row is the dominant win; the cell
-    walk, biases, and root brackets are unchanged (bit-identical hits).
+    The march is ~98% gather-bound on TPU (scripts/probe_march_body.py),
+    so the fetch strategy is chosen by corner-table size (static, from the
+    packed channel count — see ``DeviceVolume.from_volume``):
+
+    - ``fused`` (VMEM-resident tables, <= ~5 MB): ONE 9-channel gather per
+      step (8 corners + packed accel) at ~420 M rows/s.
+    - split-phase (HBM tables): every step gathers only the 1-byte packed
+      accel (node skip + surface flag); the aligned 8-corner row needed
+      for root finding is gathered under a ``lax.cond`` that only fires on
+      iterations where some lane sits in a surface-flagged cell.
+
+    Both walk the same cells with the same biases and root brackets —
+    hits are bit-identical.
     """
     as_lane = (lambda x: x) if jnp.ndim(n_l) == 0 else (lambda x: x)
     n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
@@ -209,6 +215,8 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
 
     if interp:
         corners0 = corner_fetch(cell0)
+        if fused:
+            corners0 = corners0[0]
         solid0 = jnp.all(corners0 < 0.0, axis=-1)
         rep = active & valid0 & solid0
         acc = rep & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
@@ -242,7 +250,10 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         cell_enter = cell_exit
 
         valid = is_valid_cell(cell) if interp else is_valid_voxel(cell)
-        av = accel_fetch(cell)
+        if interp and fused:
+            v8, av = corner_fetch(cell)
+        else:
+            av = accel_fetch(cell)
         _, has_surf, node_pos, node_size = node_from_accel(cell, av)
 
         if debug_overlay:
@@ -265,8 +276,7 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         if interp:
             cand = act2 & valid & has_surf
 
-            def do_root(_):
-                v8 = corner_fetch(cell)
+            def root_from(v8):
                 p_in = o + d * cell_enter[..., None]
                 p_out = o + d * new_exit[..., None]
                 cell_base = cell.astype(jnp.float32) * h_v - ext_v
@@ -276,12 +286,16 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 return iso.surface_intersection(A, B, C, D, cell_enter,
                                                 new_exit)
 
-            def no_root(_):
-                z = jnp.zeros_like(cell_enter)
-                return z != 0.0, z
+            if fused:
+                root_hit, t_hit = root_from(v8)
+            else:
+                def no_root(_):
+                    z = jnp.zeros_like(cell_enter)
+                    return z != 0.0, z
 
-            root_hit, t_hit = jax.lax.cond(jnp.any(cand), do_root, no_root,
-                                           None)
+                root_hit, t_hit = jax.lax.cond(
+                    jnp.any(cand), lambda _: root_from(corner_fetch(cell)),
+                    no_root, None)
             rep = cand & root_hit
             acc = rep & (t_hit >= 0.0) & (t_hit <= t_max)
             res = MarchHit(
@@ -336,15 +350,17 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
 
 
 def _make_corner_fetch(vol: DeviceVolume, fetch):
-    """Per-cell corner fetch: the 8 cell-corner values from ONE contiguous
-    aligned gather when the packed layout is present, else 8 scattered
-    voxel gathers.  Out-of-range cells return zeros (always masked).
-    Only root-finding iterations pay this fetch (see ``_march_core``)."""
+    """-> (corner_fetch, fused): per-cell corner fetch from the packed
+    layout (8 scattered voxel gathers when absent).  ``fused`` tables
+    (9 channels, VMEM-resident) return (v8, packed_accel) from ONE
+    contiguous gather; 8-channel tables return v8 only, paid solely on
+    root-finding iterations (see ``_march_core``).  Out-of-range cells
+    return zeros (always masked)."""
     if vol.corners is None:
         def legacy(cell):
             return iso.gather_corners(fetch, cell)
 
-        return legacy
+        return legacy, False
     cc = vol.corners.shape[0]
     ch = vol.corners.shape[-1]
     flat = vol.corners.reshape(-1, ch)
@@ -353,10 +369,12 @@ def _make_corner_fetch(vol: DeviceVolume, fetch):
         valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
         ic = jnp.clip(cell, 0, cc - 1)
         idx = (ic[..., 0] * cc + ic[..., 1]) * cc + ic[..., 2]
-        vals = jnp.where(valid[..., None], flat[idx][..., :8], 0.0)
+        vals = jnp.where(valid[..., None], flat[idx], 0.0)
+        if ch > 8:
+            return vals[..., :8], vals[..., 8].astype(jnp.int32)
         return vals
 
-    return corner_fetch
+    return corner_fetch, ch > 8
 
 
 def _get_node(vol: DeviceVolume, cell):
@@ -397,11 +415,11 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
     d = jax.lax.stop_gradient(d)
     vol = jax.lax.stop_gradient(vol)
     fetch = iso.make_fetch(vol.sdf, vol.n)
-    corner_fetch = _make_corner_fetch(vol, fetch)
+    corner_fetch, fused = _make_corner_fetch(vol, fetch)
     accel_fetch = lambda cell: _gather_accel(vol.accel, vol.n - 1, cell)
     return _march_core(corner_fetch, fetch, accel_fetch, vol.n,
                        vol.cell_size, vol.extends, vol.accel_mode,
-                       o, d, t_max, interp, debug_overlay)
+                       o, d, t_max, interp, debug_overlay, fused=fused)
 
 
 def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
@@ -437,6 +455,7 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
         ccc = vols.corners.shape[1]
         ch = vols.corners.shape[-1]
         corners_flat = vols.corners.reshape(-1, ch)
+        fused = ch > 8
 
         def corner_fetch(cell):
             valid = jnp.all((cell >= 0) & (cell + 1 < n_l[..., None]),
@@ -444,11 +463,16 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
             ic = jnp.clip(cell, 0, ccc - 1)
             idx = (vol_ids * (ccc * ccc * ccc)
                    + (ic[..., 0] * ccc + ic[..., 1]) * ccc + ic[..., 2])
-            return jnp.where(valid[..., None], corners_flat[idx][..., :8],
-                             0.0)
+            vals = jnp.where(valid[..., None], corners_flat[idx], 0.0)
+            if ch > 8:
+                return vals[..., :8], vals[..., 8].astype(jnp.int32)
+            return vals
     else:
+        fused = False
+
         def corner_fetch(cell):
             return iso.gather_corners(fetch, cell)
 
     return _march_core(corner_fetch, fetch, accel_fetch, n_l, h_l, ext_l,
-                       vols.accel_mode, o, d, t_max, interp, debug_overlay)
+                       vols.accel_mode, o, d, t_max, interp, debug_overlay,
+                       fused=fused)

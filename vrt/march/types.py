@@ -78,11 +78,18 @@ class DeviceVolume:
     accel_mode: str = dataclasses.field(metadata=dict(static=True),
                                         default="octree")
 
+    # Corner tables at or below this size stay VMEM-resident on v5e and
+    # gather at ~420 M rows/s vs ~67-90 M from HBM
+    # (scripts/probe_table_cliff.py); for them ONE fused 9-channel gather
+    # per step (accel folded in) beats the split-phase fetch.
+    FUSE_BUDGET_BYTES = 5_000_000
+
     @classmethod
     def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None,
                     pack_corners: bool = True,
                     accel_mode: str = "octree",
-                    march_dtype=None) -> "DeviceVolume":
+                    march_dtype=None,
+                    fuse_budget_bytes: int | None = None) -> "DeviceVolume":
         """Host-side (numpy) assembly — a single device transfer per array,
         no eager device ops (the accel build runs vectorized on the host).
 
@@ -95,12 +102,17 @@ class DeviceVolume:
         n = vol.n_voxels
         pad_n = pad_to or n
         assert pad_n >= n
-        # The corner table is 8 channels exactly (an aligned 16/32 B row):
-        # the march's split-phase fetch reads the packed accel from its own
-        # flat uint8 gather every step and this row only on root-finding
-        # iterations (see vrt.march.march), so folding the accel in as a
-        # 9th channel would just misalign the row (measured 2.5-3x slower
-        # gathers, scripts/probe_gather3/4).
+        # Fetch-strategy selection (see vrt.march.march): VMEM-resident
+        # tables (<= FUSE_BUDGET_BYTES) pack the accel as a fused 9th
+        # channel — one ~420 M rows/s gather per step.  Larger tables
+        # stay 8 channels (aligned 16/32 B rows) and the march reads the
+        # accel from its own flat uint8 gather every step, deferring the
+        # corner row to root-finding iterations (HBM rows cost 2.5-3x
+        # more when misaligned, scripts/probe_gather3/4).
+        budget = (cls.FUSE_BUDGET_BYTES if fuse_budget_bytes is None
+                  else fuse_budget_bytes)
+        itemsize = np.dtype(march_dtype or np.float32).itemsize
+        fold_accel = ((pad_n - 1) ** 3 * 9 * itemsize <= budget)
         sdf = np.asarray(vol.sdf, np.float32)
         mats = np.asarray(vol.voxel_materials, np.int32)
         if accel_mode == "chebyshev":
@@ -109,7 +121,8 @@ class DeviceVolume:
             accel = np.asarray(build_accel_chebyshev(sdf), np.int32)
         else:
             accel = np.asarray(build_accel(sdf, vol.resolution), np.int32)
-        corners = (pack_cell_corners(sdf, dtype=march_dtype)
+        corners = (pack_cell_corners(sdf, accel if fold_accel else None,
+                                     dtype=march_dtype)
                    if pack_corners else None)
         if pad_n > n:
             p = pad_n - n

@@ -180,8 +180,12 @@ def build_scene(volumes: Sequence,  # VoxelVolume
                 voxel_materials=v.voxel_materials)
             for v in volumes]
     n_max = pad_volumes_to or max(v.n_voxels for v in volumes)
+    # Volumes stack into one gather table; the fused-fetch VMEM budget is
+    # therefore shared across them (see DeviceVolume.from_volume).
+    budget = DeviceVolume.FUSE_BUDGET_BYTES // max(1, len(volumes))
     dvs = [DeviceVolume.from_volume(v, pad_to=n_max, accel_mode=accel_mode,
-                                    march_dtype=march_dtype)
+                                    march_dtype=march_dtype,
+                                    fuse_budget_bytes=budget)
            for v in volumes]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *dvs)
 
