@@ -5,14 +5,18 @@ mesh, halo exchange + overlapped grad all-reduce).
 Measures one `make_slab_fit_step` at model = 1, 2, ..., N on the available
 device mesh (real chips, or the virtual CPU mesh via
 ``XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu``)
-and reports
+and reports two efficiencies:
 
-    efficiency(S) = t(1) / (S * t(S))
+    efficiency          = t(1) / (S * t(S))   # wall-clock speedup retained
+    efficiency_work     = t(1) / t(S)         # total-work growth bound
 
-— the fraction of perfect model-parallel speedup retained.  On a single
-host this measures the *work partition* (per-shard compute shrinking with
-S, chord-retired rays, halo overhead); cross-host ICI/DCN latency adds on
-real pods.  Prints one JSON line per S plus a summary line.
+On real chips (one per shard) the first is the scaling number.  On an
+oversubscribed virtual mesh (S shards timesharing < S cores, flagged
+``oversubscribed``) wall time tracks TOTAL work, so the second is the
+meaningful bound: it measures how well the work partition (chord-retired
+rays, halo overhead, replicated shade) holds total compute constant as S
+grows — a lower bound on real-chip efficiency before ICI/DCN latency.
+Prints one JSON line per S plus a summary line.
 
 Usage: python -m vrt.apps.scaling [--res 9] [--rays 4096] [--steps 3]
 """
@@ -105,15 +109,24 @@ def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
             t1 = dt
         eff = t1 / (s_count * dt)
         row = {"model_shards": s_count, "step_s": round(dt, 4),
-               "loss": round(loss, 6), "efficiency": round(eff, 3)}
+               "loss": round(loss, 6), "efficiency": round(eff, 3),
+               "efficiency_work": round(t1 / dt, 3)}
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:  # pragma: no cover
+        cores = os.cpu_count() or 1
+    oversub = (jax.devices()[0].platform == "cpu"
+               and cores < results[-1]["model_shards"])
     print(json.dumps({
         "metric": f"slab-fit scaling efficiency ({n}^3 SDF, "
                   f"{n_rays} rays)",
         "best_shards": results[-1]["model_shards"],
-        "efficiency": results[-1]["efficiency"]}), flush=True)
+        "efficiency": results[-1]["efficiency"],
+        "efficiency_work": results[-1]["efficiency_work"],
+        "oversubscribed": oversub, "host_cores": cores}), flush=True)
     return results
 
 
