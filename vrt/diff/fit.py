@@ -111,14 +111,11 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
                            jnp.asarray(cam.get("fov", 60.0)), width, height)
         total = o.shape[0]
         if chunk_size and total > chunk_size:
-            from vrt.render.renderer import _probe_steps_key, _scene_hit_key
+            from vrt.render.renderer import _scene_hit_key
 
-            # probe-steps sort so chunk trip counts are homogeneous (the
-            # key is integer-valued: no gradient path through the
-            # permutation; the probe march itself is stop-gradient)
-            perm = jnp.argsort(
-                _probe_steps_key(scene, o, d, width, height, mode.interp,
-                                 chunk_size), stable=True)
+            # chord-sort so chunk trip counts are homogeneous (the key is
+            # integer-valued: no gradient path through the permutation)
+            perm = jnp.argsort(_scene_hit_key(scene, o, d), stable=True)
             o = o[perm]
             d = d[perm]
             pad = (-total) % chunk_size

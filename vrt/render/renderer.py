@@ -609,8 +609,18 @@ def render_image(scene: GPUScene, width: int, height: int,
     if chunk_size and total > chunk_size:
         perm = None
         if sort_rays:
-            key = _probe_steps_key(scene, o, d, width, height, mode.interp,
-                                   chunk_size)
+            # sort_rays: True/"chord" = slab-chord proxy key (default —
+            # it additionally clusters rays by instance, which keeps the
+            # bounce pass's live lanes contiguous); "probe" = measured
+            # trip counts from a 1/16-cost probe march (better march
+            # homogeneity: lockstep 20.3 vs 22.4 M rows on the flagship
+            # frame, but the ~50 ms probe + lost instance clustering make
+            # it a wash there — kept for step-count-dominated scenes).
+            if sort_rays == "probe":
+                key = _probe_steps_key(scene, o, d, width, height,
+                                       mode.interp, chunk_size)
+            else:
+                key = _scene_hit_key(scene, o, d)
             perm = jnp.argsort(key, stable=True)
             o = o[perm]
             d = d[perm]
@@ -658,12 +668,70 @@ def render_image(scene: GPUScene, width: int, height: int,
         else:
             rgb = out.reshape(-1, 3)
 
+        b_rgb = b_sh = None
+        if defer_refl:
+            # Wavefront bounce pass: primary chunks emit reflection rays +
+            # exact linear weights; live bounce lanes cluster into a few
+            # chunks (they exist only on reflective-hit lanes, which the
+            # primary sort already groups) and all-dead chunks are
+            # cond-skipped entirely.  The bounce's own directional shadow
+            # rays are deferred too, into the combined shadow pass below
+            # (exact: the term is linear in the blocked mask).  Under the
+            # probe sort the primary order no longer clusters instances,
+            # so live bounce lanes are compacted by their own sort (dead
+            # lanes last); under the chord sort they are already
+            # contiguous and the extra permutation is pure overhead.
+            bperm = None
+            if sort_rays == "probe":
+                bgate = refl_aux["gate"]
+                bkey = _scene_hit_key(scene, refl_aux["origin"],
+                                      refl_aux["dir"])
+                bkey = jnp.where(bgate, bkey, jnp.iinfo(jnp.int32).max)
+                bperm = jnp.argsort(bkey, stable=True)
+                refl_sorted = jax.tree.map(lambda x: x[bperm], refl_aux)
+            else:
+                refl_sorted = refl_aux
+            ob = refl_sorted["origin"].reshape(-1, chunk_size, 3)
+            db = refl_sorted["dir"].reshape(-1, chunk_size, 3)
+            gb = refl_sorted["gate"].reshape(-1, chunk_size)
+
+            def bounce_chunk(x):
+                oc1, dc1, g1 = x
+
+                def live(_):
+                    return trace_radiance(scene, oc1, dc1, 1, mode,
+                                          active=g1, defer_dir_shadow=True)
+
+                def dead(_):
+                    return (jnp.zeros((oc1.shape[0], 3), jnp.float32),
+                            _dead_shadow_aux(oc1))
+
+                return jax.lax.cond(jnp.any(g1), live, dead, None)
+
+            b_rgb, b_sh = jax.lax.map(bounce_chunk, (ob, db, gb))
+            b_rgb = b_rgb.reshape(-1, 3)
+            b_sh = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), b_sh)
+            if bperm is not None:
+                binv = jnp.argsort(bperm)
+                b_rgb = b_rgb[binv]
+                b_sh = jax.tree.map(lambda x: x[binv], b_sh)
+
         if defer_sh:
-            # Wavefront shadow pass: all directional shadow rays of the
-            # frame, re-sorted by their own march-length key so trip counts
-            # are homogeneous per chunk; gate-free chunks (sky regions,
-            # pad lanes) are cond-skipped entirely.
-            so, gate = sh_aux["origin"], sh_aux["gate"]
+            # Combined wavefront shadow pass: the primary AND bounce
+            # passes' directional shadow rays in one batch, re-sorted by
+            # their own march-length key so trip counts are homogeneous
+            # per chunk; gate-free chunks (sky regions, pad lanes) are
+            # cond-skipped entirely.
+            aux_all = (sh_aux if b_sh is None else jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), sh_aux, b_sh))
+            n_primary = sh_aux["gate"].shape[0]
+            so, gate = aux_all["origin"], aux_all["gate"]
+            spad = (-so.shape[0]) % chunk_size
+            if spad:
+                so = jnp.concatenate([so, jnp.zeros((spad, 3), so.dtype)])
+                gate = jnp.concatenate(
+                    [gate, jnp.zeros(spad, bool)])
             sd = jnp.broadcast_to(scene.dir_light_dir, so.shape)
             skey = _scene_hit_key(scene, so, sd)
             skey = jnp.where(gate, skey, jnp.iinfo(jnp.int32).max)
@@ -689,30 +757,14 @@ def render_image(scene: GPUScene, width: int, height: int,
             # of a scatter: XLA TPU scatter runs ~6x slower than a
             # second sort + gather (measured: 183 ms vs ~30 ms @2M)
             blocked = blocked_s[jnp.argsort(sperm)]
-            rgb = compose_deferred_shadow(rgb, sh_aux, blocked)
+            rgb = compose_deferred_shadow(rgb, sh_aux, blocked[:n_primary])
+            if b_sh is not None:
+                b_rgb = compose_deferred_shadow(
+                    b_rgb, b_sh, blocked[n_primary:n_primary
+                                         + b_sh["gate"].shape[0]])
 
         if defer_refl:
-            # Wavefront bounce pass: primary chunks emit reflection rays +
-            # exact linear weights; live bounce lanes cluster into a few
-            # chunks (they exist only on reflective-hit lanes, which the
-            # primary chord sort already groups) and all-dead chunks are
-            # cond-skipped entirely.
-            ob = refl_aux["origin"].reshape(-1, chunk_size, 3)
-            db = refl_aux["dir"].reshape(-1, chunk_size, 3)
-            gb = refl_aux["gate"].reshape(-1, chunk_size)
-
-            def bounce_chunk(x):
-                oc1, dc1, g1 = x
-                return jax.lax.cond(
-                    jnp.any(g1),
-                    lambda _: trace_radiance(scene, oc1, dc1, 1, mode,
-                                             active=g1),
-                    lambda _: jnp.zeros((oc1.shape[0], 3), jnp.float32),
-                    None)
-
-            refl = jax.lax.map(bounce_chunk, (ob, db, gb))
-            refl = refl.reshape(-1, 3)
-            rgb = compose_deferred_reflection(rgb, refl_aux, refl)
+            rgb = compose_deferred_reflection(rgb, refl_aux, b_rgb)
 
         rgb = rgb[:total]
         if perm is not None:
