@@ -1,4 +1,16 @@
-"""Pallas TPU kernel for the isosurface march (VMEM-resident volumes).
+"""RETIRED Pallas TPU kernel for the isosurface march — kept as a record.
+
+Demoted from ``vrt/march/`` in round 3 (VERDICT r2 item 10): the on-chip
+bake-off (``scripts/probe_gather4/5.py``, ``probe_table_cliff.py``,
+``probe_march_body.py``) showed the march is gather-issue-rate bound and
+XLA's gather already sits at that wall, so the production fetch
+architecture (fused VMEM rows / split-phase u8 accel) replaced this kernel;
+it has no production call sites.  ``tests/test_pallas.py`` still
+cross-checks it (interpret mode) so the record stays executable.
+
+Original header:
+
+Pallas TPU kernel for the isosurface march (VMEM-resident volumes).
 
 For volumes whose SDF + accel fit in VMEM (<= ~64^3 cells corner-packed,
 ~9 MB), this kernel pins the whole volume on-chip for the entire march:

@@ -163,8 +163,11 @@ class TestHaloExchange:
 class TestSlabFit:
     def test_model_parallel_fit_reduces_loss(self):
         import optax
-        from vrt.dist.brick_fit import make_slab_fit_step
+        from vrt.dist.slab_render import (SlabTracer, default_fit_scene,
+                                          make_slab_fit_step)
         from vrt.core import quat as vq
+        from vrt.render.gpuscene import RenderMode
+        from vrt.render.renderer import tonemap, trace_radiance
 
         target_vol = _volume()
         slabs_t = shard_volume(target_vol, 4)
@@ -181,19 +184,14 @@ class TestSlabFit:
         light = np.asarray(vq.forward_vector(
             vq.from_euler_degrees(0.0, 45.0, -30.0)), np.float32)
 
+        scene = default_fit_scene(target_vol.n_voxels, target_vol.cell_size,
+                                  target_vol.extends, light)
+        mode = RenderMode()
         optimizer = optax.adam(0.1)
-        step = make_slab_fit_step(mesh, optimizer, light)
+        step = make_slab_fit_step(mesh, optimizer, scene, mode)
 
-        # target image from the true SDF
-        import dataclasses as dc
-        dummy_state = optimizer.init(slabs_t.sdf)
-        # render target by "fitting" 0 steps: reuse the loss fn via a
-        # direct forward pass with zero targets to get img? simpler: use the
-        # step loss against zero targets as a consistency check and fit the
-        # perturbed volume toward the true volume's image.
-        from vrt.dist.brick_fit import _shade_lambertish
-        from vrt.dist.brick import march_volume_slab, combine_hits, resolve_slab_hits
-        from vrt.render.renderer import tonemap
+        # target image: the PRODUCTION forward (shadows and all) on the
+        # true SDF, through the same sharded tracer
         from jax.sharding import PartitionSpec as P
         from functools import partial
 
@@ -201,21 +199,10 @@ class TestSlabFit:
                  out_specs=P())
         def forward(slabs, o, d):
             s = jax.tree.map(lambda x: x[0], slabs)
-            hit = march_volume_slab(s, o, d, jnp.full(o.shape[0], 1e4))
-            hit_c = combine_hits(hit, "model")
-            owned = (hit_c.hit & (hit_c.cell[:, 0] >= s.cell_lo)
-                     & (hit_c.cell[:, 0] < s.cell_hi))
-            t, n_obj, _ = resolve_slab_hits(s, o, d, hit_c)
+            rgb = trace_radiance(scene, o, d, 0, mode,
+                                 tracer=SlabTracer(s, "model"))
             size = jax.lax.axis_size("model")
-            t_g = jax.lax.psum(jnp.where(owned, t, 0.0), "model")
-            n_g = jax.lax.psum(jnp.where(owned[..., None], n_obj, 0.0),
-                               "model")
-            rgb = _shade_lambertish(hit_c.hit, t_g, n_g, o, d,
-                                    jnp.asarray(light), 4.0,
-                                    jnp.asarray([0.8, 0.5, 0.3]),
-                                    jnp.asarray([0.2, 0.3, 0.5]))
-            img = tonemap(rgb)
-            return jax.lax.psum(img / size, "model")
+            return jax.lax.psum(tonemap(rgb) / size, "model")
 
         targets = jax.jit(forward)(slabs_t, o, d)
 
@@ -231,6 +218,8 @@ class TestSlabFit:
 
         losses = []
         start_sdf = np.asarray(start_vol.sdf)
+        # short epochs: progress gates on the epoch-boundary accel resync
+        # (stale topology caps how far the surface can move between syncs)
         for epoch in range(4):
             for _ in range(10):
                 params, opt_state, loss = step(params, opt_state, slabs, o,
@@ -250,13 +239,18 @@ class TestSlabFit:
             slabs = shard_volume(vol_now, 4)
             params = slabs.sdf
         assert np.isfinite(losses).all()
-        assert min(losses) < 0.4 * losses[0], losses[::10]
-        assert losses[-1] < 0.6 * losses[0], losses[::10]
+        # production Cook-Torrance shading (one-sided n.l, shadow masks)
+        # carries weaker gradients than the retired wrap-lit lambert shade,
+        # so convergence is slower; descent must still be decisive.  The
+        # epoch-boundary accel resync can bounce the loss (hits re-route
+        # through the rebuilt topology), so the floor is asserted on min.
+        assert min(losses) < 0.45 * losses[0], losses[::10]
+        assert losses[-1] < 0.85 * losses[0], losses[::10]
 
     def test_boundary_gradients_flow_through_halos(self):
         # gradients must reach owned planes that neighbors consume as halos
         import optax
-        from vrt.dist.brick_fit import make_slab_fit_step
+        from vrt.dist.slab_render import default_fit_scene, make_slab_fit_step
         from vrt.core import quat as vq
         from vrt.render.camera import camera_rays
 
@@ -268,8 +262,10 @@ class TestSlabFit:
                            jnp.asarray(60.0), 12, 12)
         light = np.asarray(vq.forward_vector(
             vq.from_euler_degrees(0.0, 45.0, -30.0)), np.float32)
+        scene = default_fit_scene(vol.n_voxels, vol.cell_size, vol.extends,
+                                  light)
         optimizer = optax.sgd(1e-2)
-        step = make_slab_fit_step(mesh, optimizer, light)
+        step = make_slab_fit_step(mesh, optimizer, scene)
         params0 = slabs.sdf
         state = optimizer.init(params0)
         params1, _, loss = step(params0, state, slabs, o, d,

@@ -1,12 +1,22 @@
-"""Pallas march kernel vs the XLA march (interpret mode on CPU)."""
+"""RETIRED Pallas march kernel vs the XLA march (interpret mode on CPU).
+
+The kernel was demoted to ``scripts/pallas_march.py`` after the round-2
+bake-off retired it from production (see its module docstring); this test
+keeps the parity record executable.
+"""
+
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
 from vrt.march.march import march_volume
-from vrt.march.pallas_march import fits_in_vmem, march_volume_pallas
+from pallas_march import fits_in_vmem, march_volume_pallas  # noqa: E402
 from vrt.march.types import DeviceVolume
 from vrt.volume import sdf as S
 from vrt.volume.volume import VoxelVolume

@@ -63,8 +63,8 @@ def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
 
     from vrt.core import quat as vq
     from vrt.dist.brick import shard_volume
-    from vrt.dist.brick_fit import make_slab_fit_step
     from vrt.dist.mesh import make_render_mesh
+    from vrt.dist.slab_render import default_fit_scene, make_slab_fit_step
 
     n_dev = len(jax.devices())
     if shard_counts is None:
@@ -89,11 +89,13 @@ def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
 
     results = []
     t1 = None
+    fit_scene = default_fit_scene(vol.n_voxels, vol.cell_size, vol.extends,
+                                  light)
     for s_count in shard_counts:
         mesh = make_render_mesh(1, s_count, jax.devices()[:s_count])
         slabs = shard_volume(vol, s_count)
         optimizer = optax.adam(1e-2)
-        step = make_slab_fit_step(mesh, optimizer, light)
+        step = make_slab_fit_step(mesh, optimizer, fit_scene)
         params = slabs.sdf
         state = optimizer.init(params)
         # warmup/compile

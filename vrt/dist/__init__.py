@@ -15,8 +15,10 @@ the hardware played there:
 - ``vrt.dist.brick``    : voxel volumes slab-sharded over the 'model' axis
   with 2-voxel halos (cell-corner + normal stencils), ``ppermute`` halo
   refresh, and an all-reduce closest-hit combine.
-- ``vrt.dist.brick_fit``: model-parallel SDF fitting — the sharded grid is
-  the optimizable parameter; the ownership-masked psum that combines
-  per-slab results *is* (by transposition) the overlapped cross-slab
-  gradient all-reduce.
+- ``vrt.dist.slab_render``: the PRODUCTION pipeline over slab-sharded
+  volumes — ``SlabTracer`` plugs the model-parallel march into the
+  renderer's tracer seam (primary + shadow + bounce rays all sharded),
+  plus model-parallel SDF fitting through the full Cook-Torrance shade;
+  the ownership-masked psum that combines per-slab results *is* (by
+  transposition) the overlapped cross-slab gradient all-reduce.
 """

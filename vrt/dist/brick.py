@@ -23,7 +23,7 @@ axis-invariant so it can leave the ``shard_map`` replicated.
 
 Halos refresh with a pair of ``ppermute`` shifts (``exchange_halos``) —
 differentiable, so the fitting path's halo reads route gradients back to
-the owning neighbor (``vrt.dist.brick_fit``).
+the owning neighbor (``vrt.dist.slab_render``).
 """
 
 from __future__ import annotations
@@ -60,12 +60,16 @@ class SlabVolume:
     n: jax.Array          # i32 [S] voxels per axis of the full volume
     cell_size: jax.Array  # f32 [S]
     extends: jax.Array    # f32 [S]
+    # Accel interpretation ('octree' | 'chebyshev'), as in DeviceVolume.
+    accel_mode: str = dataclasses.field(metadata=dict(static=True),
+                                        default="octree")
 
 
-def shard_volume(vol: VoxelVolume, n_shards: int) -> SlabVolume:
+def shard_volume(vol: VoxelVolume, n_shards: int,
+                 accel_mode: str = "octree") -> SlabVolume:
     """Host-side slab split.  Cells per axis must divide ``n_shards``.
 
-    The accel field is built over the FULL grid first (skip blocks are
+    The accel field is built over the FULL grid first (skip blocks/cubes are
     surface-free globally, so owned-cell skips can safely jump past slab
     boundaries), then sliced per shard.
     """
@@ -75,7 +79,13 @@ def shard_volume(vol: VoxelVolume, n_shards: int) -> SlabVolume:
     cps = cells // n_shards
     span = cps + 1 + 2 * HALO
 
-    accel_full = np.asarray(build_accel(vol.sdf, vol.resolution), np.int32)
+    if accel_mode == "chebyshev":
+        from vrt.volume.accel import build_accel_chebyshev
+
+        accel_full = np.asarray(build_accel_chebyshev(vol.sdf), np.int32)
+    else:
+        accel_full = np.asarray(build_accel(vol.sdf, vol.resolution),
+                                np.int32)
     sdf_full = np.asarray(vol.sdf, np.float32)
 
     sdf = np.full((n_shards, span, n, n), DEFAULT_DENSITY, np.float32)
@@ -98,7 +108,8 @@ def shard_volume(vol: VoxelVolume, n_shards: int) -> SlabVolume:
         cell_hi=jnp.asarray(his),
         n=jnp.full(n_shards, n, jnp.int32),
         cell_size=jnp.full(n_shards, vol.cell_size, jnp.float32),
-        extends=jnp.full(n_shards, vol.extends, jnp.float32))
+        extends=jnp.full(n_shards, vol.extends, jnp.float32),
+        accel_mode=accel_mode)
 
 
 def _slab_fetch(slab: SlabVolume):
@@ -139,14 +150,32 @@ def _slab_accel_fetch(slab: SlabVolume):
     return fetch
 
 
-def march_volume_slab(slab: SlabVolume, o, d, t_max) -> MarchHit:
-    """March rays (object space) against one shard's slab; interp mode.
+def march_volume_slab(slab: SlabVolume, o, d, t_max, interp: bool = True,
+                      debug_overlay: bool = False,
+                      probe_only: bool = False) -> MarchHit:
+    """March rays (object space) against one shard's slab.
 
-    Mirrors the replicated ``_march_core`` step-for-step inside the owned
-    slab (same node geometry, biases, and acceptance), and crosses the
-    out-of-slab region with a single giant empty node per side.  Hits are
-    reported only for owned cells; combine with ``combine_hits``.
+    A thin configuration of the production ``_march_core`` (one loop for
+    replicated AND sharded marching — no fork to drift): the slab supplies
+
+    - global-index SDF/accel fetches against local storage (out-of-slab
+      reads return 0 → no surface, no hit),
+    - a ``node_geometry`` hook that yields the identical aligned skip box
+      for owned cells and one giant empty span for the out-of-slab region
+      on each side (crossed in a single step; owned slab boundaries sit on
+      power-of-two cell planes, so re-entry brackets coincide with the
+      replicated march's aligned-block exits),
+    - per-shard chord retirement (``lane_ok``/``t_exit_cap``): rays whose
+      chord misses the owned slab box never enter the while_loop, and the
+      traversal exit clamps to the slab-box exit + one cell of slack
+      (covers the +0.1 node-exit/entry biases).
+
+    Hits are reported only for owned cells; combine with ``combine_hits``.
+    ``interp=False`` is the cube mode, ``debug_overlay``/``probe_only`` as
+    in ``march_volume``.
     """
+    from vrt.march.march import _march_core, node_box_from_accel
+
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     slab = jax.lax.stop_gradient(slab)
@@ -168,25 +197,10 @@ def march_volume_slab(slab: SlabVolume, o, d, t_max) -> MarchHit:
     lo_plane = slab.cell_lo.astype(jnp.float32) * h - ext
     hi_plane = slab.cell_hi.astype(jnp.float32) * h - ext
 
-    def pos_to_cell(p):
-        return jnp.floor((p + ext) / h).astype(jnp.int32)
-
-    def is_valid_cell(cell):
-        return jnp.all((cell >= 0) & (cell + 1 < n), axis=-1)
-
-    def node_bounds(cell, av):
-        """(has_surf, node_lo [L,3], node_hi [L,3]) — the aligned skip
-        block for owned cells (identical arithmetic to the replicated
-        march), the giant out-of-slab box otherwise."""
+    def node_geometry(cell, av):
+        valid, has_surf, own_lo, own_hi = node_box_from_accel(
+            cell, av, slab.accel_mode, n, h, h, ext)
         owned = (cell[..., 0] >= slab.cell_lo) & (cell[..., 0] < slab.cell_hi)
-        has_surf = (av & 1) == 1
-        level = av >> 1
-        origin_idx = (cell >> level[..., None]) << level[..., None]
-        node_size = jnp.exp2(level.astype(jnp.float32)) * h
-        node_pos = origin_idx.astype(jnp.float32) * h - ext
-        own_lo = node_pos
-        own_hi = node_pos + node_size[..., None]
-
         left = cell[..., 0] < slab.cell_lo
         out_lo_x = jnp.where(left, -ext, hi_plane)
         out_hi_x = jnp.where(left, lo_plane, ext)
@@ -194,126 +208,28 @@ def march_volume_slab(slab: SlabVolume, o, d, t_max) -> MarchHit:
         pos = jnp.broadcast_to(ext, out_hi_x.shape)
         out_lo = jnp.stack([out_lo_x, neg, neg], axis=-1)
         out_hi = jnp.stack([out_hi_x, pos, pos], axis=-1)
-
         m = owned[..., None]
-        return has_surf & owned, jnp.where(m, own_lo, out_lo), \
+        return valid, has_surf & owned, jnp.where(m, own_lo, out_lo), \
             jnp.where(m, own_hi, out_hi)
 
-    def node_exit(node_lo, node_hi):
-        """Exit t with the reference's nested-if tie-break
-        (``GoToNextVoxel``, ``SH/Include/Voxel.hlsli:80-183``)."""
-        inv = _inv_dir(d)
-        sel = jnp.where(d > 0.0, node_hi, node_lo)
-        tm = jnp.where(d != 0.0, (sel - o) * inv, 1e5)
-        tx, ty, tz = tm[..., 0], tm[..., 1], tm[..., 2]
-        first = tx < ty
-        t_a = jnp.where(tx < tz, tx, tz)
-        t_b = jnp.where(ty < tz, ty, tz)
-        return jnp.where(first, t_a, t_b)
-
-    ok, t_enter, t_exit = ray_aabb(o, d, -ext[..., None], ext[..., None],
-                                   t_max)
-
-    # Per-shard chord retirement: this shard only ever reports hits inside
-    # its owned x-interval, so rays whose chord misses the owned slab box
-    # entirely are deactivated before the while_loop (they would otherwise
-    # keep the lockstep loop alive crossing the giant nodes), and the
-    # effective t_exit is clamped to the slab-box exit + one cell of slack
-    # (covers the +0.1 node-exit/entry biases: a bracket that can still
-    # contain an owned-cell root always starts before this).
+    # Per-shard chord retirement (see docstring).
     slab_lo = jnp.stack([lo_plane, -ext, -ext], axis=-1)
     slab_hi = jnp.stack([hi_plane, ext, ext], axis=-1)
     slab_ok, _, slab_exit = ray_aabb(o, d, slab_lo, slab_hi, t_max)
-    ok = ok & slab_ok
-    t_exit = jnp.minimum(t_exit, slab_exit + h)
 
-    pos_branch = t_enter >= 0.0
-    t_enter_b = jnp.where(pos_branch, t_enter + 0.01, t_enter)
-    entry_pos = o + d * t_enter_b[..., None]
-    cell0 = jnp.where(pos_branch[..., None], pos_to_cell(entry_pos),
-                      pos_to_cell(o))
-    av0 = accel_fetch(cell0)
-    _, node_lo0, node_hi0 = node_bounds(cell0, av0)
-    fwd_exit = node_exit(node_lo0, node_hi0)
-    cell_exit0 = jnp.where(pos_branch, t_enter_b, -fwd_exit + 0.01)
+    def voxel_owned(cell):
+        # cube mode: voxel x-plane ownership (the final global plane n-1
+        # belongs to the last shard, whose cell_hi is the last cell row)
+        x = cell[..., 0]
+        return ((x >= slab.cell_lo) & (x < slab.cell_hi)) \
+            | ((x == n - 1) & (slab.cell_hi == n - 1))
 
-    result = MarchHit.none_like(o)
-    active = ok
-
-    # fully solid entry cell (owner only: out-of-slab corner reads are 0)
-    from vrt.march.march import _entry_face_normal
-
-    entry_norm = _entry_face_normal(o, d, t_enter_b, ext[..., None])
-    corners0 = iso.gather_corners(fetch, cell0)
-    solid0 = jnp.all(corners0 < 0.0, axis=-1)
-    rep0 = active & is_valid_cell(cell0) & solid0
-    acc0 = rep0 & (t_enter_b >= 0.0) & (t_enter_b <= t_max)
-    result = MarchHit(
-        hit=jnp.where(acc0, True, result.hit),
-        t=jnp.where(acc0, t_enter_b, result.t),
-        kind=jnp.where(acc0, KIND_SOLID_ENTRY, result.kind),
-        cell=jnp.where(acc0[..., None], cell0, result.cell),
-        t_in=result.t_in, t_out=result.t_out,
-        face_normal=jnp.where(acc0[..., None], entry_norm,
-                              result.face_normal))
-    active = active & ~rep0
-
-    def cond(state):
-        it, _, _, act, _ = state
-        return jnp.any(act) & (it < MAX_ITERATIONS)
-
-    def body(state):
-        it, cell, cell_exit, act, res = state
-
-        act2 = act & ~(cell_exit > t_exit)
-        cell_enter = cell_exit
-
-        valid = is_valid_cell(cell)
-        v8 = iso.gather_corners(fetch, cell)
-        av = accel_fetch(cell)
-        has_surf, node_lo, node_hi = node_bounds(cell, av)
-
-        new_exit = node_exit(node_lo, node_hi) + 0.1
-        next_cell = pos_to_cell(o + d * new_exit[..., None])
-
-        cell_base = cell.astype(jnp.float32) * h - ext
-        node_size = node_hi[..., 0] - node_lo[..., 0]
-        p_in = o + d * cell_enter[..., None]
-        p_out = o + d * new_exit[..., None]
-        a1 = (p_in - cell_base) / node_size[..., None]
-        b1 = (p_out - cell_base) / node_size[..., None] - a1
-        A, B, C, D = iso.cubic_coefficients(v8, a1, b1)
-        root_hit, t_hit = iso.surface_intersection(A, B, C, D, cell_enter,
-                                                   new_exit)
-        rep = act2 & valid & has_surf & root_hit
-        acc = rep & (t_hit >= 0.0) & (t_hit <= t_max)
-        res = MarchHit(
-            hit=jnp.where(acc, True, res.hit),
-            t=jnp.where(acc, t_hit, res.t),
-            kind=jnp.where(acc, KIND_SURFACE, res.kind),
-            cell=jnp.where(acc[..., None], cell, res.cell),
-            t_in=jnp.where(acc, cell_enter, res.t_in),
-            t_out=jnp.where(acc, new_exit, res.t_out),
-            face_normal=res.face_normal)
-
-        new_active = act2 & valid & ~rep
-        cell = jnp.where(new_active[..., None], next_cell, cell)
-        cell_exit = jnp.where(new_active, new_exit, cell_exit)
-        return (it + 1, cell, cell_exit, new_active, res)
-
-    it0 = jnp.asarray(0, jnp.int32)
-    _, _, _, still_active, result = jax.lax.while_loop(
-        cond, body, (it0, cell0, cell_exit0, active, result))
-
-    acc = still_active & (EXHAUSTED_T <= t_max)
-    result = MarchHit(
-        hit=jnp.where(acc, True, result.hit),
-        t=jnp.where(acc, EXHAUSTED_T, result.t),
-        kind=jnp.where(acc, KIND_EXHAUSTED, result.kind),
-        cell=result.cell, t_in=result.t_in, t_out=result.t_out,
-        face_normal=jnp.where(acc[..., None], jnp.asarray([1.0, 0.0, 0.0]),
-                              result.face_normal))
-    return result
+    corner_fetch = lambda cell: iso.gather_corners(fetch, cell)  # noqa: E731
+    return _march_core(corner_fetch, fetch, accel_fetch, n, h,
+                       ext, slab.accel_mode, o, d, t_max, interp,
+                       debug_overlay, fused=False, probe_only=probe_only,
+                       node_geometry=node_geometry, lane_ok=slab_ok,
+                       t_exit_cap=slab_exit + h, voxel_owned=voxel_owned)
 
 
 def combine_hits(hit: MarchHit, axis: str) -> MarchHit:

@@ -76,14 +76,16 @@ def ray_aabb(o, d, lo, hi, t_max):
     return ok, t_enter, t_exit
 
 
-def _exit_with_axis(o, d, node_pos, node_size):
+def _exit_with_axis(o, d, node_lo, node_hi):
     """Node-exit t and the exit axis with the reference's nested-if
     tie-breaking (``GoToNextVoxel``, ``SH/Include/Voxel.hlsli:80-183``).
 
+    Node bounds are general boxes [node_lo, node_hi] so the same loop
+    serves cubic skip nodes and the slab march's out-of-slab spans.
     Returns (exit_t, axis i32 in {0,1,2}).
     """
     inv = _inv_dir(d)
-    sel = jnp.where(d > 0.0, node_pos + node_size[..., None], node_pos)
+    sel = jnp.where(d > 0.0, node_hi, node_lo)
     tm = jnp.where(d != 0.0, (sel - o) * inv, 1e5)
     tx, ty, tz = tm[..., 0], tm[..., 1], tm[..., 2]
     # if (x < y) { x < z ? x : z } else { y < z ? y : z }
@@ -117,16 +119,43 @@ def _gather_accel(accel, n_cells, cell):
     return jnp.where(valid, vals, 0)
 
 
-def _hits_node_bounds(pos, node_pos, node_size, thickness=LINE_THICKNESS):
+def _hits_node_bounds(pos, node_lo, node_hi, thickness=LINE_THICKNESS):
     """``DoesRayHitOctreeBounds`` (SH/Include/Debugging.hlsli:16-38)."""
-    outer_min = node_pos - thickness
-    outer_max = node_pos + node_size[..., None] + thickness
+    outer_min = node_lo - thickness
+    outer_max = node_hi + thickness
     inside = jnp.all((pos >= outer_min) & (pos <= outer_max), axis=-1)
-    b = (jnp.abs(pos - node_pos) <= thickness) \
-        | (jnp.abs(pos - (node_pos + node_size[..., None])) <= thickness)
+    b = (jnp.abs(pos - node_lo) <= thickness) \
+        | (jnp.abs(pos - node_hi) <= thickness)
     bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
     border = ((bx | by) & bz) | ((by | bz) & bx)
     return inside & border
+
+
+def node_box_from_accel(cell, av, accel_mode, n_v, h_l, h_v, ext_v):
+    """Aligned skip-node box for ``cell`` from its packed accel value.
+
+    The collapsed-octree equivalent (``GetOctreeNode``,
+    ``SH/Include/Voxel.hlsli:293-495``): octree mode decodes a level
+    (power-of-two aligned block), chebyshev mode a centered
+    empty-ball radius.  Returns (valid, has_surface, node_lo, node_hi);
+    invalid cells get the degenerate box (lo (-1,-1,-1), size 0) like
+    ``GetOctreeNode``'s fall-through.
+    """
+    valid = jnp.all((cell >= 0) & (cell + 1 < n_v), axis=-1)
+    has_surface = (av & 1) == 1
+    if accel_mode == "chebyshev":
+        dd = av >> 1
+        half = jnp.maximum(dd - 1, 0)
+        origin_idx = cell - half[..., None]
+        node_size = (2.0 * half.astype(jnp.float32) + 1.0) * h_l
+    else:
+        level = av >> 1
+        origin_idx = (cell >> level[..., None]) << level[..., None]
+        node_size = jnp.exp2(level.astype(jnp.float32)) * h_l
+    node_lo = origin_idx.astype(jnp.float32) * h_v - ext_v
+    node_lo = jnp.where(valid[..., None], node_lo, -1.0)
+    node_hi = node_lo + jnp.where(valid, node_size, 0.0)[..., None]
+    return valid, has_surface, node_lo, node_hi
 
 
 def _entry_face_normal(o, d, t_enter, ext_v):
@@ -142,12 +171,24 @@ def _entry_face_normal(o, d, t_enter, ext_v):
 def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 accel_mode: str, o, d, t_max, interp: bool,
                 debug_overlay: bool, fused: bool = False,
-                probe_only: bool = False) -> MarchHit:
+                probe_only: bool = False, node_geometry=None,
+                lane_ok=None, t_exit_cap=None,
+                voxel_owned=None) -> MarchHit:
     """The march loop over lanes with (possibly per-lane) volume geometry.
 
     corner_fetch(cell) -> v8 [L,8] (or (v8, accel) when ``fused``);
     voxel_fetch(cell) -> [L]; accel_fetch(cell) -> [L] packed accel;
     n_l/h_l/ext_l are scalars or [L] lane arrays.
+
+    ``node_geometry(cell, av) -> (valid, has_surf, node_lo, node_hi)``
+    overrides the skip-node box (default: ``node_box_from_accel``) — the
+    slab-sharded march supplies owned-cell boxes plus giant out-of-slab
+    spans through this hook, so one loop serves both (VERDICT r2 item 3).
+    ``lane_ok`` masks lanes off before the loop; ``t_exit_cap`` clamps the
+    traversal exit t (slab chord retirement).  ``voxel_owned(cell)`` gates
+    cube-mode solid tests (a slab shard must not claim voxels whose density
+    it does not store — its fetch reads 0 there, which cube mode would
+    otherwise take as solid).
 
     The march is ~98% gather-bound on TPU (scripts/probe_march_body.py),
     so the fetch strategy is chosen by corner-table size (static, from the
@@ -184,24 +225,16 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
     def is_valid_voxel(cell):
         return jnp.all((cell >= 0) & (cell < n_v), axis=-1)
 
-    def node_from_accel(cell, av):
-        valid = is_valid_cell(cell)
-        has_surface = (av & 1) == 1
-        if accel_mode == "chebyshev":
-            dd = av >> 1
-            half = jnp.maximum(dd - 1, 0)
-            origin_idx = cell - half[..., None]
-            node_size = (2.0 * half.astype(jnp.float32) + 1.0) * h_l
-        else:
-            level = av >> 1
-            origin_idx = (cell >> level[..., None]) << level[..., None]
-            node_size = jnp.exp2(level.astype(jnp.float32)) * h_l
-        node_pos = origin_idx.astype(jnp.float32) * h_v - ext_v
-        node_pos = jnp.where(valid[..., None], node_pos, -1.0)
-        node_size = jnp.where(valid, node_size, 0.0)
-        return valid, has_surface, node_pos, node_size
+    if node_geometry is None:
+        def node_geometry(cell, av):
+            return node_box_from_accel(cell, av, accel_mode, n_v, h_l, h_v,
+                                       ext_v)
 
     ok, t_enter, t_exit = ray_aabb(o, d, -ext_v, ext_v, t_max)
+    if lane_ok is not None:
+        ok = ok & lane_ok
+    if t_exit_cap is not None:
+        t_exit = jnp.minimum(t_exit, t_exit_cap)
 
     pos_branch = t_enter >= 0.0
     t_enter_b = jnp.where(pos_branch, t_enter + 0.01, t_enter)
@@ -209,10 +242,10 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
     cell0 = jnp.where(pos_branch[..., None], pos_to_cell(entry_pos),
                       pos_to_cell(o))
     av0 = accel_fetch(cell0)
-    valid0, _, node_pos0, node_size0 = node_from_accel(cell0, av0)
+    valid0, _, node_lo0, node_hi0 = node_geometry(cell0, av0)
     # Origin-inside branch: ReverseRay is a no-op (returns the forward ray),
     # so the "backward" exit is the forward node exit, then negated + 0.01.
-    fwd_exit, _ = _exit_with_axis(o, d, node_pos0, node_size0)
+    fwd_exit, _ = _exit_with_axis(o, d, node_lo0, node_hi0)
     cell_exit0 = jnp.where(pos_branch, t_enter_b, -fwd_exit + 0.01)
 
     result = MarchHit.none_like(o)
@@ -261,12 +294,12 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
             v8, av = corner_fetch(cell)
         else:
             av = accel_fetch(cell)
-        _, has_surf, node_pos, node_size = node_from_accel(cell, av)
+        _, has_surf, node_lo, node_hi = node_geometry(cell, av)
 
         if debug_overlay:
             # SHADER_DEBUG: unlit red hit on octree-node borders
             dbg = act2 & valid & _hits_node_bounds(
-                o + d * cell_enter[..., None], node_pos, node_size)
+                o + d * cell_enter[..., None], node_lo, node_hi)
             dacc = dbg & (cell_enter >= 0.0) & (cell_enter <= t_max)
             res = MarchHit(
                 hit=jnp.where(dacc, True, res.hit),
@@ -276,12 +309,15 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 face_normal=res.face_normal)
             act2 = act2 & ~dbg
 
-        exit_t, exit_ax = _exit_with_axis(o, d, node_pos, node_size)
+        exit_t, exit_ax = _exit_with_axis(o, d, node_lo, node_hi)
         new_exit = exit_t + 0.1
         next_cell = pos_to_cell(o + d * new_exit[..., None])
 
         if interp:
             cand = act2 & valid & has_surf
+            # surface nodes are single cells: their box is cubic, so the
+            # x-extent is the cell-space normalization (== h there)
+            node_size = node_hi[..., 0] - node_lo[..., 0]
 
             def root_from(v8):
                 p_in = o + d * cell_enter[..., None]
@@ -319,6 +355,8 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         else:
             dens = voxel_fetch(cell)
             rep = act2 & valid & (dens <= 0.0)
+            if voxel_owned is not None:
+                rep = rep & voxel_owned(cell)
             acc = rep & (cell_enter >= 0.0) & (cell_enter <= t_max)
             res = MarchHit(
                 hit=jnp.where(acc, True, res.hit),
@@ -384,30 +422,6 @@ def _make_corner_fetch(vol: DeviceVolume, fetch):
         return vals
 
     return corner_fetch, ch > 8
-
-
-def _get_node(vol: DeviceVolume, cell):
-    """Skip-node lookup for ``cell`` (kept for external probes/tests).
-
-    Invalid cells return the degenerate node (pos (-1,-1,-1), size 0) like
-    ``GetOctreeNode``'s fall-through (``SH/Include/Voxel.hlsli:293-495``).
-    """
-    valid = jnp.all((cell >= 0) & (cell + 1 < vol.n), axis=-1)
-    av = _gather_accel(vol.accel, vol.n - 1, cell)
-    has_surface = (av & 1) == 1
-    if vol.accel_mode == "chebyshev":
-        dd = av >> 1
-        half = jnp.maximum(dd - 1, 0)
-        origin_idx = cell - half[..., None]
-        node_size = (2.0 * half.astype(jnp.float32) + 1.0) * vol.cell_size
-    else:
-        level = av >> 1
-        origin_idx = (cell >> level[..., None]) << level[..., None]
-        node_size = jnp.exp2(level.astype(jnp.float32)) * vol.cell_size
-    node_pos = origin_idx.astype(jnp.float32) * vol.cell_size - vol.extends
-    node_pos = jnp.where(valid[..., None], node_pos, -1.0)
-    node_size = jnp.where(valid, node_size, 0.0)
-    return valid, has_surface, node_pos, node_size
 
 
 @partial(jax.jit, static_argnames=("interp", "debug_overlay", "probe_only"))

@@ -211,8 +211,32 @@ def _voxel_color_sample(scene: GPUScene, pr, hit: MarchHit, o_w, d_w, t):
     return jnp.sum(w[..., None] * cvals, axis=1)
 
 
+class SceneTracer:
+    """The march/resolve seam of the render pipeline.
+
+    The default tracer is the replicated TLAS-equivalent
+    (``march_scene``/``resolve_scene``); the slab-sharded pipeline
+    substitutes a tracer that marches one slab-sharded volume and
+    all-reduces hits across the model axis (``vrt.dist.slab_render``) —
+    everything above this seam (shading, lights, bounce, tonemap) is the
+    SAME production code in both.
+    """
+
+    def march(self, scene: GPUScene, o_w, d_w, t_max, interp: bool,
+              debug_overlay: bool = False, probe_only: bool = False):
+        return march_scene(scene, o_w, d_w, t_max, interp,
+                           debug_overlay=debug_overlay,
+                           probe_only=probe_only)
+
+    def resolve(self, scene: GPUScene, o_w, d_w, hit: MarchHit, inst):
+        return resolve_scene(scene, o_w, d_w, hit, inst)
+
+
+_DEFAULT_TRACER = SceneTracer()
+
+
 def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
-                 interp: bool, relevant=None):
+                 interp: bool, relevant=None, tracer: SceneTracer = None):
     """Boolean occlusion trace (``TraceShadowRay``, ``Ray.hlsli:81-109``):
     any accepted hit within [0, max_dist] blocks; recursion-capped rays
     return un-blocked.
@@ -227,13 +251,15 @@ def trace_shadow(scene: GPUScene, o_w, d_w, max_dist, depth: int,
         return jnp.zeros(o_w.shape[0], bool)
     if relevant is not None:
         max_dist = jnp.where(relevant, max_dist, -jnp.inf)
-    hit, _ = march_scene(scene, o_w, d_w, max_dist, interp)
+    hit, _ = (tracer or _DEFAULT_TRACER).march(scene, o_w, d_w, max_dist,
+                                               interp)
     return hit.hit
 
 
 def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
                depth: int, mode: RenderMode, defer_reflection: bool = False,
-               defer_dir_shadow: bool = False):
+               defer_dir_shadow: bool = False,
+               tracer: SceneTracer = None):
     """``VRClosestHit`` lit path (``SH/Raytracing.hlsl:49-144``).
 
     With ``defer_reflection`` the mirror-bounce ray is NOT traced inline;
@@ -260,7 +286,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
                                                        d_w.shape),
                                       jnp.full(t.shape, DIR_SHADOW_TMAX),
                                       depth + 1, mode.interp,
-                                      relevant=hit.hit)
+                                      relevant=hit.hit, tracer=tracer)
 
     diffuse = jnp.full(d_w.shape, _brdf.SHADOW_BRIGHTNESS)
 
@@ -310,7 +336,8 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
                             scale=1.0 - roughness * 2.2)
         else:
             refl_rgb = trace_radiance(scene, shadow_origin, refl_dir,
-                                      depth + 1, mode, active=gate)
+                                      depth + 1, mode, active=gate,
+                                      tracer=tracer)
             refl_rgb = jnp.maximum(
                 0.0, refl_rgb * (1.0 - (roughness * 2.2)[..., None]))
             add = _brdf.radiance(refl_rgb, refl_dir, wo, n_w, albedo,
@@ -341,7 +368,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
                           depth + 1, mode.interp,
-                          relevant=hit.hit & (inten > 0.005))
+                          relevant=hit.hit & (inten > 0.005), tracer=tracer)
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
                              metallic, k)
         lit = (inten > 0.005) & ~sh
@@ -361,7 +388,7 @@ def _shade_lit(scene: GPUScene, o_w, d_w, t, n_obj, inst, hit: MarchHit,
         sdir = _safe_div(delta, dist[..., None])
         sh = trace_shadow(scene, shadow_origin, sdir, dist,
                           depth + 1, mode.interp,
-                          relevant=hit.hit & (inten > 0.01))
+                          relevant=hit.hit & (inten > 0.01), tracer=tracer)
         add = _brdf.radiance(li, sdir, wo, n_w, albedo, roughness,
                              metallic, k)
         lit = (inten > 0.01) & ~sh
@@ -403,7 +430,8 @@ def _dead_shadow_aux(o_w):
 
 def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
                    active=None, defer_reflection: bool = False,
-                   defer_dir_shadow: bool = False):
+                   defer_dir_shadow: bool = False,
+                   tracer: SceneTracer = None):
     """One radiance dispatch level; returns linear rgb [R,3].
 
     Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
@@ -430,12 +458,13 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
             out += (_dead_shadow_aux(o_w),)
         return out if len(out) > 1 else rgb0
 
+    tracer = tracer or _DEFAULT_TRACER
     t_max = jnp.full(r, RADIANCE_TMAX)
     if active is not None:
         t_max = jnp.where(active, t_max, -jnp.inf)
-    hit, inst = march_scene(scene, o_w, d_w, t_max, mode.interp,
-                            debug_overlay=mode.debug_overlay)
-    t, n_obj, unlit_attr = resolve_scene(scene, o_w, d_w, hit, inst)
+    hit, inst = tracer.march(scene, o_w, d_w, t_max, mode.interp,
+                             debug_overlay=mode.debug_overlay)
+    t, n_obj, unlit_attr = tracer.resolve(scene, o_w, d_w, hit, inst)
 
     # Sanitize miss lanes before shading: their values are discarded by the
     # final select, but infinities reaching the shading math would poison
@@ -451,7 +480,7 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
         shaded, refl_aux, shadow_aux = _shade_lit(
             scene, o_w, d_w, t, n_obj, inst, hit, depth, mode,
             defer_reflection=defer_reflection,
-            defer_dir_shadow=defer_dir_shadow)
+            defer_dir_shadow=defer_dir_shadow, tracer=tracer)
     else:
         shaded = _shade_unlit_mode(scene, o_w, d_w, t, n_obj, inst, hit, mode)
 
