@@ -29,7 +29,7 @@ DEADLINE_S = int(os.environ.get("VRT_BENCH_DEADLINE", "2400"))
 # Fallback ladder: if a config faults the device or times out, retry smaller
 # so the driver always records a real measurement.
 LADDER = [
-    dict(W=1920, H=1080, RES=7, CHUNK=16384),
+    dict(W=1920, H=1080, RES=7, CHUNK=8192),
     dict(W=1280, H=720, RES=6, CHUNK=32768),
     dict(W=512, H=512, RES=6, CHUNK=16384),
 ]

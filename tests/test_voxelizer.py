@@ -200,3 +200,52 @@ class TestGLTF:
         assert (vol.sdf < 0).any()
         assert len(scene.point_lights) == 1
         assert scene.point_lights[0].strength == 42.0
+
+
+class TestVoxelizedMeshGolden:
+    """BASELINE config 3's image check: a glTF mesh voxelized through the
+    full path renders allclose to the scalar NumPy oracle (feasible res)."""
+
+    def test_voxelized_gltf_render_matches_numpy(self):
+        from tests import numpy_reference as ref
+        from vrt.apps.make_assets import torus_mesh, write_gltf_mesh
+        from vrt.apps.voxelize import convert
+        from vrt.core import quat as vq
+        from vrt.io.voxfile import load_scene
+        from vrt.render.gpuscene import RenderMode, build_scene
+        from vrt.render.renderer import render_image
+
+        verts, faces = torus_mesh(nu=24, nv=12)
+        with tempfile.TemporaryDirectory() as tmp:
+            gltf = os.path.join(tmp, "scene.gltf")
+            write_gltf_mesh(gltf, verts, faces, name="torus_4",
+                            material={"baseColor": [0.8, 0.4, 0.3, 1.0],
+                                      "roughness": 0.6, "metallic": 0.2})
+            scene = load_scene(convert(gltf, verbose=False))
+        vol = scene.voxel_objects[0].volume
+        assert vol.resolution == 4
+
+        cam_pos = (250.0, 0.0, 120.0)
+        cam_rot = np.asarray(vq.from_euler_degrees(0.0, 180.0, -25.0))
+        light_dir = np.asarray(vq.forward_vector(
+            vq.from_euler_degrees(0.0, 30.0, -40.0)))
+        env_color = (0.2, 0.3, 0.5)
+        gpu = build_scene(
+            [vol], [{"volume": 0}],
+            camera=dict(position=cam_pos, rotation=cam_rot, fov=60.0),
+            dir_light=dict(direction=light_dir, strength=5.0),
+            env=np.full((6, 2, 2, 3), env_color, np.float32))
+        w, h = 32, 24
+        got = np.asarray(render_image(gpu, w, h,
+                                      RenderMode(textured=False)))[..., :3]
+
+        rvol = ref.Volume(vol.sdf, vol.resolution, vol.extends)
+        m = vol.material
+        want = ref.render_notex_lit(
+            rvol, w, h, cam_pos, cam_rot, 60.0, light_dir, 5.0,
+            np.asarray(m.albedo[:3]), m.roughness, m.metallic, env_color)
+
+        diff = np.abs(got - want)
+        assert np.quantile(diff, 0.98) < 5e-3, np.quantile(diff, 0.98)
+        assert diff.mean() < 2e-3, diff.mean()
+        assert (diff.max(axis=-1) > 0.05).mean() < 0.01

@@ -5,9 +5,12 @@
 Configs (BASELINE.json):
  1. 64^3 sphere SDF, 256x256, lambert-ish lit        (fwd)
  2. 128^3 scene + skybox, 512x512                    (fwd)
- 3. voxelized mesh 256^3-class, 1080p                (fwd)
+ 3. voxelized glTF mesh at 257^3 (res 8), 1080p      (fwd)
  4. differentiable fit step, 256^3-class             (fwd+bwd)
  5. sharded-volume render over the device mesh       (scaling)
+ 6. differentiable fit step at 1080p                 (fwd+bwd)
+ 7. 12-instance scene                                (fwd)
+ 8. flagship analytic 129^3 scene, 1080p             (fwd)
 
 Timings synchronize through a scalar readback (the axon runtime's
 block_until_ready can return early).  Each row reports ms/frame and rays/s.
@@ -16,6 +19,7 @@ block_until_ready can return early).  Each row reports ms/frame and rays/s.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -48,8 +52,66 @@ def bench_forward(resolution, width, height, label, results, chunk=None):
     if chunk is None:
         # sorted chunking enables per-chunk dead-skip (see renderer): pick
         # a size giving >= 8 chunks so sky regions actually retire early
-        chunk = max(2048, min(16384, (width * height) // 8))
+        chunk = max(2048, min(8192, (width * height) // 8))
     dt = _time(lambda: render_image(scene, width, height, RenderMode(),
+                                    chunk_size=chunk, sort_rays=True))
+    rays = width * height
+    results.append((label, dt * 1e3, rays / dt))
+    print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
+          file=sys.stderr, flush=True)
+
+
+def bench_voxelized_mesh(results, resolution=8, width=1920, height=1080,
+                         chunk=8192):
+    """BASELINE config 3 AS WRITTEN: glTF mesh -> native 7-region
+    voxelization at res 8 (257^3, the reference's design limit,
+    ``VolumeConverter.cpp:43-47``) -> 1080p forward render of the
+    voxelized volume.  Reports the render row; the voxelize time is
+    printed alongside (it is a one-off import, not a frame cost)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from vrt.apps.make_assets import torus_mesh, write_gltf_mesh
+    from vrt.apps.voxelize import convert
+    from vrt.core import quat as vq
+    from vrt.io.voxfile import load_scene
+    from vrt.render.gpuscene import RenderMode, build_scene
+    from vrt.render.renderer import render_image
+    from vrt.scene.scene import Camera, DirectionalLight
+
+    verts, faces = torus_mesh(major=60.0, minor=25.0, nu=96, nv=48)
+    with tempfile.TemporaryDirectory() as td:
+        gltf = os.path.join(td, "scene.gltf")
+        write_gltf_mesh(gltf, verts, faces, name=f"torus_{resolution}")
+        t0 = time.perf_counter()
+        vox_path = convert(gltf, verbose=False)
+        t_vox = time.perf_counter() - t0
+        scene = load_scene(vox_path)
+    vol = scene.volumes[0]
+    print(f"voxelized {len(faces)//3} tris at res {resolution} "
+          f"({vol.n_voxels}^3): {t_vox:.1f}s (native path)",
+          file=sys.stderr, flush=True)
+    scene.spawn(DirectionalLight(
+        rotation=np.asarray(vq.from_euler_degrees(0.0, 45.0, -30.0)),
+        strength=6.0))
+    scene.active_camera = Camera(
+        position=np.asarray((250.0, 0.0, 120.0), np.float32),
+        rotation=np.asarray(vq.from_euler_degrees(0.0, 180.0, -25.0)))
+    objs = [dict(volume=0, position=o.position, rotation=o.rotation,
+                 scale=o.scale) for o in scene.voxel_objects]
+    cam = scene.active_camera
+    dl = scene.active_directional_light
+    gpu = build_scene(
+        [vol], objs,
+        camera=dict(position=cam.position, rotation=cam.rotation,
+                    fov=cam.fov),
+        dir_light=dict(direction=dl.direction, strength=dl.strength),
+        env=np.full((6, 2, 2, 3), (0.25, 0.35, 0.55), np.float32),
+        accel_mode="chebyshev", march_dtype=jnp.bfloat16)
+    label = (f"config3 voxelized glTF {vol.n_voxels}^3 "
+             f"{width}x{height} fwd")
+    dt = _time(lambda: render_image(gpu, width, height, RenderMode(),
                                     chunk_size=chunk, sort_rays=True))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
@@ -127,7 +189,7 @@ def bench_many_instances(resolution, size, label, results, n_inst=12):
         dir_light={"direction": np.asarray(vq.forward_vector(
             vq.from_euler_degrees(0.0, 45.0, -30.0))), "strength": 5.0},
         env=np.full((6, 4, 4, 3), (0.3, 0.4, 0.6), np.float32))
-    chunk = max(2048, min(16384, (size * size) // 8))
+    chunk = max(2048, min(8192, (size * size) // 8))
     dt = _time(lambda: render_image(scene, size, size, RenderMode(),
                                     chunk_size=chunk, sort_rays=True))
     results.append((label, dt * 1e3, size * size / dt))
@@ -178,7 +240,9 @@ def main(argv=None):
         bench_forward(6, 512, 512, "config2 128^3-class 512x512 fwd",
                       results, args.chunk)
     if 3 in args.configs:
-        bench_forward(7, 1920, 1080, "config3 256^3-class 1080p fwd",
+        bench_voxelized_mesh(results)
+    if 8 in args.configs:
+        bench_forward(7, 1920, 1080, "flagship 129^3 analytic 1080p fwd",
                       results, args.chunk)
     if 4 in args.configs:
         bench_fit(5, 128, "config4 fit step 128x128 fwd+bwd", results)

@@ -46,6 +46,69 @@ def torus_mesh(major=60.0, minor=25.0, nu=48, nv=24):
     return verts, np.asarray(faces, np.int64)
 
 
+def torus_vertex_normals(verts, major=60.0):
+    """Analytic torus normals: radial from the tube's center circle."""
+    ring = verts.copy()
+    ring[:, 2] = 0.0
+    rn = np.linalg.norm(ring, axis=1, keepdims=True)
+    center = ring / np.where(rn > 0, rn, 1.0) * major
+    n = verts - center
+    return (n / np.linalg.norm(n, axis=1, keepdims=True)).astype(np.float32)
+
+
+def write_gltf_mesh(path, verts, faces, name="mesh", material=None,
+                    scale=0.01):
+    """Minimal glTF 2.0 file (one mesh, one node, embedded buffer) in the
+    subset ``vrt.io.gltf.load_gltf`` / the reference importer consume:
+    POSITION+NORMAL float accessors with min/max, u32 indices, pbr material
+    (``VOX/Private/GLTFImporter.cpp:52-166``).  ``scale`` converts engine
+    units back to glTF meters (the importer re-applies x100)."""
+    import base64
+    import json
+
+    pos = (np.asarray(verts, np.float32) * scale)
+    nrm = torus_vertex_normals(np.asarray(verts, np.float64)).astype(
+        np.float32)
+    idx = np.asarray(faces, np.uint32)
+    blob = pos.tobytes() + nrm.tobytes() + idx.tobytes()
+    mat = material or {}
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"name": name, "mesh": 0}],
+        "meshes": [{"name": name, "primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1},
+            "indices": 2, "material": 0}]}],
+        "materials": [{"name": mat.get("name", "default"),
+                       "pbrMetallicRoughness": {
+            "baseColorFactor": mat.get("baseColor", [0.9, 0.6, 0.2, 1.0]),
+            "roughnessFactor": mat.get("roughness", 0.5),
+            "metallicFactor": mat.get("metallic", 0.1)}}],
+        "buffers": [{
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+            "byteLength": len(blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": pos.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes,
+             "byteLength": nrm.nbytes},
+            {"buffer": 0, "byteOffset": pos.nbytes + nrm.nbytes,
+             "byteLength": idx.nbytes}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3", "min": pos.min(0).tolist(),
+             "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5126, "count": len(nrm),
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5125, "count": len(idx),
+             "type": "SCALAR"}],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
+
+
 def sky_cubemap(edge=32):
     """Simple gradient sky: blue zenith -> pale horizon -> dark ground,
     shaded per face from the sample direction's z (the Skybox.dds stand-in

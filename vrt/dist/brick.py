@@ -151,8 +151,7 @@ def _slab_accel_fetch(slab: SlabVolume):
 
 
 def march_volume_slab(slab: SlabVolume, o, d, t_max, interp: bool = True,
-                      debug_overlay: bool = False,
-                      probe_only: bool = False) -> MarchHit:
+                      debug_overlay: bool = False) -> MarchHit:
     """March rays (object space) against one shard's slab.
 
     A thin configuration of the production ``_march_core`` (one loop for
@@ -171,8 +170,8 @@ def march_volume_slab(slab: SlabVolume, o, d, t_max, interp: bool = True,
       (covers the +0.1 node-exit/entry biases).
 
     Hits are reported only for owned cells; combine with ``combine_hits``.
-    ``interp=False`` is the cube mode, ``debug_overlay``/``probe_only`` as
-    in ``march_volume``.
+    ``interp=False`` is the cube mode, ``debug_overlay`` as in
+    ``march_volume``.
     """
     from vrt.march.march import _march_core, node_box_from_accel
 
@@ -227,7 +226,7 @@ def march_volume_slab(slab: SlabVolume, o, d, t_max, interp: bool = True,
     corner_fetch = lambda cell: iso.gather_corners(fetch, cell)  # noqa: E731
     return _march_core(corner_fetch, fetch, accel_fetch, n, h,
                        ext, slab.accel_mode, o, d, t_max, interp,
-                       debug_overlay, fused=False, probe_only=probe_only,
+                       debug_overlay, fused=False,
                        node_geometry=node_geometry, lane_ok=slab_ok,
                        t_exit_cap=slab_exit + h, voxel_owned=voxel_owned)
 

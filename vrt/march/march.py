@@ -171,8 +171,7 @@ def _entry_face_normal(o, d, t_enter, ext_v):
 def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 accel_mode: str, o, d, t_max, interp: bool,
                 debug_overlay: bool, fused: bool = False,
-                probe_only: bool = False, node_geometry=None,
-                lane_ok=None, t_exit_cap=None,
+                node_geometry=None, lane_ok=None, t_exit_cap=None,
                 voxel_owned=None) -> MarchHit:
     """The march loop over lanes with (possibly per-lane) volume geometry.
 
@@ -203,12 +202,6 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
 
     Both walk the same cells with the same biases and root brackets —
     hits are bit-identical.
-
-    ``probe_only`` (interp mode) skips root finding entirely and stops a
-    lane at its first surface-flagged cell: a cheap trip-count estimator
-    whose ``steps`` field sorts rays into homogeneous chunks (the true
-    march only runs longer where a root-miss continues past a flagged
-    cell).  Hit fields other than ``steps``/``hit`` are approximate.
     """
     as_lane = (lambda x: x) if jnp.ndim(n_l) == 0 else (lambda x: x)
     n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
@@ -290,7 +283,7 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         cell_enter = cell_exit
 
         valid = is_valid_cell(cell) if interp else is_valid_voxel(cell)
-        if interp and fused and not probe_only:
+        if interp and fused:
             v8, av = corner_fetch(cell)
         else:
             av = accel_fetch(cell)
@@ -329,9 +322,7 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
                 return iso.surface_intersection(A, B, C, D, cell_enter,
                                                 new_exit)
 
-            if probe_only:
-                root_hit, t_hit = cand, cell_enter
-            elif fused:
+            if fused:
                 root_hit, t_hit = root_from(v8)
             else:
                 def no_root(_):
@@ -424,10 +415,9 @@ def _make_corner_fetch(vol: DeviceVolume, fetch):
     return corner_fetch, ch > 8
 
 
-@partial(jax.jit, static_argnames=("interp", "debug_overlay", "probe_only"))
+@partial(jax.jit, static_argnames=("interp", "debug_overlay"))
 def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
-                 debug_overlay: bool = False,
-                 probe_only: bool = False) -> MarchHit:
+                 debug_overlay: bool = False) -> MarchHit:
     """March rays (object space) through one volume.
 
     o, d: f32 [R,3]; t_max: f32 [R] (DXR TMax / closest-so-far).
@@ -443,13 +433,12 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
     accel_fetch = lambda cell: _gather_accel(vol.accel, vol.n - 1, cell)
     return _march_core(corner_fetch, fetch, accel_fetch, vol.n,
                        vol.cell_size, vol.extends, vol.accel_mode,
-                       o, d, t_max, interp, debug_overlay, fused=fused,
-                       probe_only=probe_only)
+                       o, d, t_max, interp, debug_overlay, fused=fused)
 
 
 def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
-                interp: bool = True, debug_overlay: bool = False,
-                probe_only: bool = False) -> MarchHit:
+                interp: bool = True,
+                debug_overlay: bool = False) -> MarchHit:
     """March lanes against per-lane volumes from a stacked DeviceVolume.
 
     ``vols`` is stacked over a leading V axis; ``vol_ids`` [L] selects a
@@ -501,4 +490,4 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
 
     return _march_core(corner_fetch, fetch, accel_fetch, n_l, h_l, ext_l,
                        vols.accel_mode, o, d, t_max, interp, debug_overlay,
-                       fused=fused, probe_only=probe_only)
+                       fused=fused)

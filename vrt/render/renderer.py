@@ -76,7 +76,7 @@ def _object_normal_to_world(rot, scale, n_obj):
 
 
 def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
-                debug_overlay: bool = False, probe_only: bool = False):
+                debug_overlay: bool = False):
     """Closest hit across all active instances — the TLAS equivalent.
 
     DXR-style sequential candidate traversal: per ray, candidate instances
@@ -131,8 +131,7 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
         o_j = jnp.take_along_axis(o_obj, sel3, axis=0)[0]    # [R,3]
         d_j = jnp.take_along_axis(d_obj, sel3, axis=0)[0]
         h = march_lanes(scene.volumes, scene.inst_volume[inst_j], o_j, d_j,
-                        t_max_j, interp=interp, debug_overlay=debug_overlay,
-                        probe_only=probe_only)
+                        t_max_j, interp=interp, debug_overlay=debug_overlay)
         # per-lane work accounting accumulates over ALL candidate passes
         # (roofline instrumentation); the winner-select strips it first.
         total_steps = total_steps + h.steps
@@ -223,10 +222,9 @@ class SceneTracer:
     """
 
     def march(self, scene: GPUScene, o_w, d_w, t_max, interp: bool,
-              debug_overlay: bool = False, probe_only: bool = False):
+              debug_overlay: bool = False):
         return march_scene(scene, o_w, d_w, t_max, interp,
-                           debug_overlay=debug_overlay,
-                           probe_only=probe_only)
+                           debug_overlay=debug_overlay)
 
     def resolve(self, scene: GPUScene, o_w, d_w, hit: MarchHit, inst):
         return resolve_scene(scene, o_w, d_w, hit, inst)
@@ -566,60 +564,13 @@ def _scene_hit_key(scene: GPUScene, o_w, d_w):
     return -jnp.ceil(chord).astype(jnp.int32)
 
 
-def _probe_steps_key(scene: GPUScene, o, d, width: int, height: int,
-                     interp: bool, chunk_size: int):
-    """Measured-trip-count sort key: a strided (1/4 x 1/4) probe march
-    (accel-only, stop at the first surface-flagged cell — see
-    ``probe_only``) estimates each ray's while-loop trip count; full-res
-    rays inherit their probe pixel's estimate after a 3x3 max dilation
-    (so a silhouette grazer's cost covers its neighborhood).  Sorting by
-    the estimate makes chunk trip counts homogeneous — the chord key it
-    replaces predicted *potential* length, this measures actual skips.
-
-    The probe costs ~1/16 of a primary march's accel-gather traffic; the
-    key is integer-valued (no gradient path through the permutation).
-    """
-    h4, w4 = -(-height // 4), -(-width // 4)
-    og = o.reshape(height, width, 3)[::4, ::4].reshape(-1, 3)
-    dg = d.reshape(height, width, 3)[::4, ::4].reshape(-1, 3)
-    n4 = og.shape[0]
-    base = _scene_hit_key(scene, og, dg)
-    p4 = jnp.argsort(base, stable=True)
-    og, dg = og[p4], dg[p4]
-    t4 = jnp.full(n4, RADIANCE_TMAX, jnp.float32)
-    pad = (-n4) % chunk_size
-    if pad:
-        og = jnp.concatenate([og, jnp.zeros((pad, 3), og.dtype)])
-        dg = jnp.concatenate([dg, jnp.ones((pad, 3), dg.dtype)])
-        t4 = jnp.concatenate([t4, jnp.full(pad, -jnp.inf, jnp.float32)])
-
-    def probe_chunk(x):
-        oc1, dc1, tc1 = x
-        h, _ = march_scene(scene, oc1, dc1, tc1, interp, probe_only=True)
-        return h.steps
-
-    steps = jax.lax.map(probe_chunk,
-                        (og.reshape(-1, chunk_size, 3),
-                         dg.reshape(-1, chunk_size, 3),
-                         t4.reshape(-1, chunk_size))).reshape(-1)[:n4]
-    s2 = steps[jnp.argsort(p4)].reshape(h4, w4)
-    s2p = jnp.pad(s2, 1, mode="edge")
-    est = s2
-    for dy in range(3):
-        for dx in range(3):
-            est = jnp.maximum(est, s2p[dy:dy + h4, dx:dx + w4])
-    est = jnp.repeat(jnp.repeat(est, 4, 0), 4, 1)[:height, :width]
-    # long marches first; sky rays (est 0) keep key 0 so dead-chunk
-    # detection (_scene_hit_key < 0 per chunk) still sees them grouped last
-    return -est.reshape(-1)
-
-
 @partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size",
-                                   "sort_rays"))
+                                   "sort_rays", "bounce_sort"))
 def render_image(scene: GPUScene, width: int, height: int,
                  mode: RenderMode = RenderMode(),
                  chunk_size: int | None = None,
-                 sort_rays: bool = False):
+                 sort_rays: bool = False,
+                 bounce_sort: bool = False):
     """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32.
 
     ``chunk_size`` splits the pixel batch into independently-marched chunks
@@ -638,18 +589,13 @@ def render_image(scene: GPUScene, width: int, height: int,
     if chunk_size and total > chunk_size:
         perm = None
         if sort_rays:
-            # sort_rays: True/"chord" = slab-chord proxy key (default —
-            # it additionally clusters rays by instance, which keeps the
-            # bounce pass's live lanes contiguous); "probe" = measured
-            # trip counts from a 1/16-cost probe march (better march
-            # homogeneity: lockstep 20.3 vs 22.4 M rows on the flagship
-            # frame, but the ~50 ms probe + lost instance clustering make
-            # it a wash there — kept for step-count-dominated scenes).
-            if sort_rays == "probe":
-                key = _probe_steps_key(scene, o, d, width, height,
-                                       mode.interp, chunk_size)
-            else:
-                key = _scene_hit_key(scene, o, d)
+            # slab-chord proxy key: long potential marches first, and rays
+            # clustered by instance.  A measured-trip-count probe-march key
+            # was evaluated through round 3 and always lost (1544 vs
+            # 1415 ms at the winning chunk size, scripts/probe_frame_sweep
+            # .py) — the ~50 ms probe plus lost instance clustering cost
+            # more than the better march homogeneity saved.
+            key = _scene_hit_key(scene, o, d)
             perm = jnp.argsort(key, stable=True)
             o = o[perm]
             d = d[perm]
@@ -705,13 +651,15 @@ def render_image(scene: GPUScene, width: int, height: int,
             # primary sort already groups) and all-dead chunks are
             # cond-skipped entirely.  The bounce's own directional shadow
             # rays are deferred too, into the combined shadow pass below
-            # (exact: the term is linear in the blocked mask).  Under the
-            # probe sort the primary order no longer clusters instances,
-            # so live bounce lanes are compacted by their own sort (dead
-            # lanes last); under the chord sort they are already
-            # contiguous and the extra permutation is pure overhead.
+            # (exact: the term is linear in the blocked mask).
+            # ``bounce_sort`` compacts live bounce lanes by their own
+            # march-length key (dead lanes last); measured a LOSS on the
+            # flagship frame (1534 vs 1419 ms, scripts/probe_bounce_sort
+            # .py — the chord-sorted primary order already clusters live
+            # bounce lanes and the 2M-lane sort+permutes cost more than
+            # the extra skipped chunks), so it defaults off.
             bperm = None
-            if sort_rays == "probe":
+            if bounce_sort:
                 bgate = refl_aux["gate"]
                 bkey = _scene_hit_key(scene, refl_aux["origin"],
                                       refl_aux["dir"])
