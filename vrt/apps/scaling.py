@@ -46,6 +46,32 @@ def build_volume(resolution: int):
     return VoxelVolume.from_generator(csg, resolution, ext)
 
 
+def _per_shard_steps(mesh, slabs, o, d):
+    """Per-shard primary-march while_loop step totals — the accounting
+    that says whether slab-march work actually partitions (a shard pays
+    steps only for rays whose chord crosses its slab + the one-step
+    crossings of the out-of-slab spans)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from vrt.dist.brick import march_volume_slab
+    from vrt.dist.mesh import MODEL_AXIS
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(MODEL_AXIS), P(), P()),
+             out_specs=P(MODEL_AXIS))
+    def counts(slabs, o, d):
+        slab = jax.tree.map(lambda x: x[0], slabs)
+        t_max = jnp.full(o.shape[0], 1e4, jnp.float32)
+        hit = march_volume_slab(slab, o, d, t_max)
+        return jnp.sum(hit.steps)[None]
+
+    return [int(x) for x in counts(slabs, o, d)]
+
+
 def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
     import os
 
@@ -112,7 +138,8 @@ def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
         eff = t1 / (s_count * dt)
         row = {"model_shards": s_count, "step_s": round(dt, 4),
                "loss": round(loss, 6), "efficiency": round(eff, 3),
-               "efficiency_work": round(t1 / dt, 3)}
+               "efficiency_work": round(t1 / dt, 3),
+               "march_steps_per_shard": _per_shard_steps(mesh, slabs, o, d)}
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -122,14 +149,15 @@ def run(resolution: int, n_rays: int, steps: int, shard_counts=None):
         cores = os.cpu_count() or 1
     oversub = (jax.devices()[0].platform == "cpu"
                and cores < results[-1]["model_shards"])
-    print(json.dumps({
+    summary = {
         "metric": f"slab-fit scaling efficiency ({n}^3 SDF, "
                   f"{n_rays} rays)",
         "best_shards": results[-1]["model_shards"],
         "efficiency": results[-1]["efficiency"],
         "efficiency_work": results[-1]["efficiency_work"],
-        "oversubscribed": oversub, "host_cores": cores}), flush=True)
-    return results
+        "oversubscribed": oversub, "host_cores": cores}
+    print(json.dumps(summary), flush=True)
+    return results, summary
 
 
 def main():
@@ -139,8 +167,15 @@ def main():
     ap.add_argument("--rays", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--shards", type=int, nargs="*", default=None)
+    ap.add_argument("--out", default=None,
+                    help="write rows + summary as JSON lines")
     args = ap.parse_args()
-    run(args.res, args.rays, args.steps, args.shards)
+    results, summary = run(args.res, args.rays, args.steps, args.shards)
+    if args.out:
+        with open(args.out, "w") as f:
+            for row in results:
+                f.write(json.dumps(row) + "\n")
+            f.write(json.dumps(summary) + "\n")
 
 
 if __name__ == "__main__":

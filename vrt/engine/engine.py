@@ -47,7 +47,8 @@ class Engine:
         # the renderer's dead-chunk skipping for sky regions (big frames
         # only; tiny frames render as one batch)
         if chunk_size == "auto":
-            chunk_size = (max(2048, min(16384, (width * height) // 8))
+            # 8192 measured fastest at frame scale (scripts/probe_frame_sweep)
+            chunk_size = (max(2048, min(8192, (width * height) // 8))
                           if width * height > 16384 else None)
         self.chunk_size = chunk_size
         self.sort_rays = sort_rays
