@@ -66,6 +66,12 @@ def main():
                 s = rebuild_accel(graft_params(scene0, p))
                 perm = jnp.argsort(_scene_hit_key(s, o, d), stable=True)
                 os_, ds_ = o[perm], d[perm]
+                pad = (-os_.shape[0]) % CHUNK
+                if pad:
+                    os_ = jnp.concatenate(
+                        [os_, jnp.zeros((pad, 3), os_.dtype)])
+                    ds_ = jnp.concatenate(
+                        [ds_, jnp.ones((pad, 3), ds_.dtype)])
                 from vrt.shade import texture as _tex
 
                 @partial(jax.checkpoint,
@@ -82,7 +88,7 @@ def main():
 
                 rgb = jax.lax.map(traced, (os_.reshape(-1, CHUNK, 3),
                                            ds_.reshape(-1, CHUNK, 3)))
-                rgb = rgb.reshape(-1, 3)[jnp.argsort(perm)]
+                rgb = rgb.reshape(-1, 3)[:o.shape[0]][jnp.argsort(perm)]
                 return jnp.mean((tonemap(rgb) - tgt) ** 2)
 
             return jax.value_and_grad(loss_fn)(p)

@@ -150,7 +150,12 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
                 traced,
                 (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
             rgb = rgb.reshape(-1, 3)[:total]
-            rgb = rgb[jnp.argsort(perm)]  # inverse perm: sort beats scatter
+            # inverse perm: sort beats scatter in the forward AND (via the
+            # custom vjp) the backward — a permutation's transpose is the
+            # inverse permutation, not a scatter-add
+            from vrt.render.renderer import permute_rows
+
+            rgb = permute_rows(rgb, jnp.argsort(perm), perm)
             imgs.append(tonemap(rgb))
         else:
             imgs.append(tonemap(trace_radiance(scene, o, d, 0, mode)))
