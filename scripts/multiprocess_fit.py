@@ -137,7 +137,8 @@ def run_ref(out_path: str, nprocs: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nprocs", type=int, default=2)
-    ap.add_argument("--port", type=int, default=12657)
+    ap.add_argument("--port", type=int, default=0,
+                    help="coordinator port; 0 picks a free one at runtime")
     ap.add_argument("--role", default="parent")
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--out", default="")
@@ -151,6 +152,15 @@ def main():
         return
 
     import tempfile
+
+    if not args.port:
+        # grab a free port and release it just before the children bind:
+        # collision-safe against concurrent test runs on a shared host
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            args.port = s.getsockname()[1]
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
                XLA_FLAGS="--xla_force_host_platform_device_count=1")

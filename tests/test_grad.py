@@ -159,6 +159,46 @@ class TestPixelGradients:
         assert np.isfinite(g).all() and np.abs(g).max() > 1e-4
 
 
+class TestDeferredFitGrads:
+    """The chunked fit path runs the PRODUCTION deferred wavefront pipeline
+    (render_image with remat=True) — its loss and gradients must match the
+    inline trace_radiance path (the deferral is exact by linearity)."""
+
+    def test_chunked_wavefront_grads_match_inline(self):
+        # reflective material so the deferred bounce pass is live, plus the
+        # combined shadow pass and cond-skipped sky chunks
+        scene = _sphere_scene(resolution=3, use_colors=True,
+                              albedo=(0.8, 0.3, 0.3, 1.0))
+        import dataclasses
+        scene = dataclasses.replace(
+            scene, roughness=jnp.full_like(scene.roughness, 0.1),
+            any_reflective=True)
+        from vrt.diff.fit import render_views
+        cams = [dict(position=(300.0, 0.0, 0.0),
+                     rotation=np.asarray(
+                         vq.from_euler_degrees(0.0, 180.0, 0.0)),
+                     fov=60.0)]
+        params = {"sdf": scene.volumes.sdf,
+                  "voxel_colors": scene.voxel_colors}
+
+        def make_loss(chunk):
+            def loss(p):
+                s = rebuild_accel(graft_params(scene, p))
+                imgs = render_views(s, cams, 24, 24, RenderMode(),
+                                    chunk_size=chunk)
+                return jnp.mean(imgs ** 2)
+            return loss
+
+        l0, g0 = jax.value_and_grad(make_loss(None))(params)
+        l1, g1 = jax.value_and_grad(make_loss(128))(params)
+        assert float(l0) == pytest.approx(float(l1), rel=1e-5)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            assert np.isfinite(b).all(), k
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7,
+                                       err_msg=k)
+
+
 class TestFitConverges:
     def test_recover_voxel_colors(self):
         # render a target with known colors, re-fit from gray start

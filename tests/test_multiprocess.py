@@ -16,8 +16,9 @@ def test_two_process_fit_parity():
     script = os.path.join(REPO, "scripts", "multiprocess_fit.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children pin their own 1-device count
-    out = subprocess.run([sys.executable, script, "--nprocs", "2",
-                          "--port", "12931"],
+    # no --port: the parent picks a free one at runtime (collision-safe
+    # against concurrent test runs on a shared host)
+    out = subprocess.run([sys.executable, script, "--nprocs", "2"],
                          env=env, cwd=REPO, capture_output=True, text=True,
                          timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]

@@ -62,12 +62,13 @@ def bench_forward(resolution, width, height, label, results, chunk=None):
 
 
 def bench_voxelized_mesh(results, resolution=8, width=1920, height=1080,
-                         chunk=8192):
+                         chunk=None):
     """BASELINE config 3 AS WRITTEN: glTF mesh -> native 7-region
     voxelization at res 8 (257^3, the reference's design limit,
     ``VolumeConverter.cpp:43-47``) -> 1080p forward render of the
     voxelized volume.  Reports the render row; the voxelize time is
     printed alongside (it is a one-off import, not a frame cost)."""
+    chunk = chunk or 8192
     import tempfile
 
     import jax.numpy as jnp
@@ -240,7 +241,7 @@ def main(argv=None):
         bench_forward(6, 512, 512, "config2 128^3-class 512x512 fwd",
                       results, args.chunk)
     if 3 in args.configs:
-        bench_voxelized_mesh(results)
+        bench_voxelized_mesh(results, chunk=args.chunk or 8192)
     if 8 in args.configs:
         bench_forward(7, 1920, 1080, "flagship 129^3 analytic 1080p fwd",
                       results, args.chunk)
@@ -248,7 +249,7 @@ def main(argv=None):
         bench_fit(5, 128, "config4 fit step 128x128 fwd+bwd", results)
     if 6 in args.configs:
         bench_fit(6, 0, "config6 fit step 1080p fwd+bwd", results,
-                  width=1920, height=1080, chunk=32768)
+                  width=1920, height=1080, chunk=16384)
     if 7 in args.configs:
         bench_many_instances(6, 512, "config7 12-instance scene 512x512 fwd",
                              results)

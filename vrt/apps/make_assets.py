@@ -56,19 +56,34 @@ def torus_vertex_normals(verts, major=60.0):
     return (n / np.linalg.norm(n, axis=1, keepdims=True)).astype(np.float32)
 
 
+def vertex_normals(verts, faces):
+    """Area-weighted vertex normals from the triangulation (generic mesh
+    default; pass analytic normals to ``write_gltf_mesh`` when known)."""
+    verts = np.asarray(verts, np.float64)
+    tris = np.asarray(faces, np.int64).reshape(-1, 3)
+    fn = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                  verts[tris[:, 2]] - verts[tris[:, 0]])  # 2*area-weighted
+    n = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(n, tris[:, k], fn)
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.where(ln > 0, ln, 1.0)).astype(np.float32)
+
+
 def write_gltf_mesh(path, verts, faces, name="mesh", material=None,
-                    scale=0.01):
+                    scale=0.01, normals=None):
     """Minimal glTF 2.0 file (one mesh, one node, embedded buffer) in the
     subset ``vrt.io.gltf.load_gltf`` / the reference importer consume:
     POSITION+NORMAL float accessors with min/max, u32 indices, pbr material
     (``VOX/Private/GLTFImporter.cpp:52-166``).  ``scale`` converts engine
-    units back to glTF meters (the importer re-applies x100)."""
+    units back to glTF meters (the importer re-applies x100).  ``normals``
+    defaults to area-weighted face normals of the triangulation."""
     import base64
     import json
 
     pos = (np.asarray(verts, np.float32) * scale)
-    nrm = torus_vertex_normals(np.asarray(verts, np.float64)).astype(
-        np.float32)
+    nrm = (np.asarray(normals, np.float32) if normals is not None
+           else vertex_normals(verts, faces))
     idx = np.asarray(faces, np.uint32)
     blob = pos.tobytes() + nrm.tobytes() + idx.tobytes()
     mat = material or {}

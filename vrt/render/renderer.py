@@ -594,12 +594,13 @@ def _scene_hit_key(scene: GPUScene, o_w, d_w):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size",
-                                   "sort_rays", "bounce_sort"))
+                                   "sort_rays", "bounce_sort", "remat"))
 def render_image(scene: GPUScene, width: int, height: int,
                  mode: RenderMode = RenderMode(),
                  chunk_size: int | None = None,
                  sort_rays: bool = False,
-                 bounce_sort: bool = False):
+                 bounce_sort: bool = False,
+                 remat: bool = False):
     """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32.
 
     ``chunk_size`` splits the pixel batch into independently-marched chunks
@@ -609,6 +610,15 @@ def render_image(scene: GPUScene, width: int, height: int,
     rays by a cheap can-hit-the-scene slab key before chunking, so whole
     miss-chunks retire in one or two iterations.  None processes the frame
     as one batch.
+
+    ``remat`` wraps each chunk body in ``jax.checkpoint`` with the
+    ``save_only_these_names("march")`` policy, making the full deferred
+    wavefront pipeline differentiable at frame scale: the backward replays
+    one chunk's resolve/shade math at a time against the SAVED march hit
+    records (the traversal while_loops never re-run), instead of stacking
+    every chunk's shading residuals across the whole frame — which blows
+    host memory/the TPU compile helper at 1080p.  Forward-only rendering is
+    unaffected (checkpoint is the identity without a grad).
     """
     from vrt.render.camera import camera_rays
 
@@ -661,6 +671,10 @@ def render_image(scene: GPUScene, width: int, height: int,
 
             return jax.lax.cond(can_hit, live, dead, None)
 
+        if remat:
+            primary_chunk = jax.checkpoint(
+                primary_chunk,
+                policy=jax.checkpoint_policies.save_only_these_names("march"))
         out = jax.lax.map(primary_chunk, (oc, dc))
         if defer_refl or defer_sh:
             parts = list(out)
@@ -714,6 +728,11 @@ def render_image(scene: GPUScene, width: int, height: int,
 
                 return jax.lax.cond(jnp.any(g1), live, dead, None)
 
+            if remat:
+                bounce_chunk = jax.checkpoint(
+                    bounce_chunk,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "march"))
             b_rgb, b_sh = jax.lax.map(bounce_chunk, (ob, db, gb))
             b_rgb = b_rgb.reshape(-1, 3)
             b_sh = jax.tree.map(
