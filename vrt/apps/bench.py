@@ -2,15 +2,17 @@
 
 ``python -m vrt.apps.bench [--configs 1 2 ...] [--out BENCH.md]``
 
-Configs (BASELINE.json):
+Configs 1-5 mirror BASELINE.json's numbering; 6-8 are extra rows this
+repo also tracks:
  1. 64^3 sphere SDF, 256x256, lambert-ish lit        (fwd)
  2. 128^3 scene + skybox, 512x512                    (fwd)
  3. voxelized glTF mesh at 257^3 (res 8), 1080p      (fwd)
- 4. differentiable fit step, 256^3-class             (fwd+bwd)
+ 4. differentiable fit of a 257^3 SDF + per-voxel
+    colors from multi-view images                    (fwd+bwd)
  5. sharded-volume render over the device mesh       (scaling)
- 6. differentiable fit step at 1080p                 (fwd+bwd)
- 7. 12-instance scene                                (fwd)
- 8. flagship analytic 129^3 scene, 1080p             (fwd)
+ 6. extra: differentiable fit step at 1080p          (fwd+bwd)
+ 7. extra: 12-instance scene                         (fwd)
+ 8. extra: flagship analytic 129^3 scene, 1080p      (fwd)
 
 Timings synchronize through a scalar readback (the axon runtime's
 block_until_ready can return early).  Each row reports ms/frame and rays/s.
@@ -121,7 +123,7 @@ def bench_voxelized_mesh(results, resolution=8, width=1920, height=1080,
 
 
 def bench_fit(resolution, size, label, results, width=None, height=None,
-              chunk=None):
+              chunk=None, scene=None, cams=None):
     import jax.numpy as jnp
     import optax
 
@@ -131,11 +133,13 @@ def bench_fit(resolution, size, label, results, width=None, height=None,
 
     width = width or size
     height = height or size
-    scene = _flagship_scene(resolution=resolution, use_colors=True)
-    cams = [dict(position=(320.0, 0.0, 40.0),
-                 rotation=np.asarray([0.0, 0.0, 1.0, 0.0], np.float32),
-                 fov=60.0)]
-    targets = jnp.zeros((1, width * height, 3), jnp.float32)
+    if scene is None:
+        scene = _flagship_scene(resolution=resolution, use_colors=True)
+    cams = cams or [dict(position=(320.0, 0.0, 40.0),
+                         rotation=np.asarray([0.0, 0.0, 1.0, 0.0],
+                                             np.float32),
+                         fov=60.0)]
+    targets = jnp.zeros((len(cams), width * height, 3), jnp.float32)
     params = {"sdf": scene.volumes.sdf, "voxel_colors": scene.voxel_colors}
     opt = optax.adam(1e-2)
     state = opt.init(params)
@@ -148,10 +152,51 @@ def bench_fit(resolution, size, label, results, width=None, height=None,
         return loss
 
     dt = _time(run)
-    rays = width * height
+    rays = len(cams) * width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/step, {rays/dt/1e6:.3f} Mrays/s "
           f"(fwd+bwd)", file=sys.stderr, flush=True)
+
+
+def bench_fit_257(results, resolution=8, size=256, views=2, chunk=16384):
+    """BASELINE config 4 AS WRITTEN: optimize a 257^3 SDF + per-voxel
+    color field from multi-view images — the memory-lean configuration
+    (bf16 corner table, deferred-wavefront fit forward with per-chunk
+    remat).  scripts/fit_257.py runs the full convergence loop and
+    records FIT_257.json; this row measures the steady-state step."""
+    import jax.numpy as jnp
+
+    from vrt.core import quat as vq
+    from vrt.core.material import Material
+    from vrt.render.gpuscene import build_scene
+    from vrt.volume import sdf as S
+    from vrt.volume.volume import VoxelVolume
+
+    vol = VoxelVolume.from_generator(
+        S.Sphere(radius=70.0), resolution, 100.0,
+        material=Material(albedo=(0.8, 0.8, 0.8, 1.0), roughness=0.8))
+    n = vol.n_voxels
+    colors = np.full((1, n, n, n, 3), 0.5, np.float32)
+    scene = build_scene(
+        [vol], [{"volume": 0}],
+        camera={"position": (300.0, 0.0, 0.0),
+                "rotation": np.asarray(
+                    vq.from_euler_degrees(0.0, 180.0, 0.0))},
+        dir_light={"direction": np.asarray(vq.forward_vector(
+            vq.from_euler_degrees(0.0, 45.0, -30.0))), "strength": 6.0},
+        env=np.full((6, 8, 8, 3), (0.25, 0.45, 0.85), np.float32),
+        voxel_colors=colors, march_dtype=jnp.bfloat16)
+    cams = []
+    for i in range(views):
+        yaw = 360.0 * i / views
+        a = np.radians(yaw)
+        cams.append(dict(
+            position=(300.0 * np.cos(a), 300.0 * np.sin(a), 60.0),
+            rotation=np.asarray(vq.from_euler_degrees(
+                0.0, 180.0 + yaw, -11.3)), fov=60.0))
+    bench_fit(resolution, size,
+              f"config4 fit 257^3 ({views} views {size}x{size}) fwd+bwd",
+              results, chunk=chunk, scene=scene, cams=cams)
 
 
 def bench_many_instances(resolution, size, label, results, n_inst=12):
@@ -246,7 +291,7 @@ def main(argv=None):
         bench_forward(7, 1920, 1080, "flagship 129^3 analytic 1080p fwd",
                       results, args.chunk)
     if 4 in args.configs:
-        bench_fit(5, 128, "config4 fit step 128x128 fwd+bwd", results)
+        bench_fit_257(results)
     if 6 in args.configs:
         bench_fit(6, 0, "config6 fit step 1080p fwd+bwd", results,
                   width=1920, height=1080, chunk=16384)

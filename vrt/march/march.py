@@ -168,55 +168,21 @@ def _entry_face_normal(o, d, t_enter, ext_v):
     return np_ / jnp.linalg.norm(np_, axis=-1, keepdims=True)
 
 
-def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
-                accel_mode: str, o, d, t_max, interp: bool,
-                debug_overlay: bool, fused: bool = False,
-                node_geometry=None, lane_ok=None, t_exit_cap=None,
-                voxel_owned=None) -> MarchHit:
-    """The march loop over lanes with (possibly per-lane) volume geometry.
-
-    corner_fetch(cell) -> v8 [L,8] (or (v8, accel) when ``fused``);
-    voxel_fetch(cell) -> [L]; accel_fetch(cell) -> [L] packed accel;
-    n_l/h_l/ext_l are scalars or [L] lane arrays.
-
-    ``node_geometry(cell, av) -> (valid, has_surf, node_lo, node_hi)``
-    overrides the skip-node box (default: ``node_box_from_accel``) — the
-    slab-sharded march supplies owned-cell boxes plus giant out-of-slab
-    spans through this hook, so one loop serves both (VERDICT r2 item 3).
-    ``lane_ok`` masks lanes off before the loop; ``t_exit_cap`` clamps the
-    traversal exit t (slab chord retirement).  ``voxel_owned(cell)`` gates
-    cube-mode solid tests (a slab shard must not claim voxels whose density
-    it does not store — its fetch reads 0 there, which cube mode would
-    otherwise take as solid).
-
-    The march is ~98% gather-bound on TPU (scripts/probe_march_body.py),
-    so the fetch strategy is chosen by corner-table size (static, from the
-    packed channel count — see ``DeviceVolume.from_volume``):
-
-    - ``fused`` (VMEM-resident tables, <= ~5 MB): ONE 9-channel gather per
-      step (8 corners + packed accel) at ~420 M rows/s.
-    - split-phase (HBM tables): every step gathers only the 1-byte packed
-      accel (node skip + surface flag); the aligned 8-corner row needed
-      for root finding is gathered under a ``lax.cond`` that only fires on
-      iterations where some lane sits in a surface-flagged cell.
-
-    Both walk the same cells with the same biases and root brackets —
-    hits are bit-identical.
-    """
-    as_lane = (lambda x: x) if jnp.ndim(n_l) == 0 else (lambda x: x)
+def _march_begin(corner_fetch, accel_fetch, n_l, h_l, ext_l,
+                 accel_mode: str, o, d, t_max, interp: bool,
+                 fused: bool = False, node_geometry=None, lane_ok=None,
+                 t_exit_cap=None):
+    """Pre-loop march state: slab entry, entry cell, biases, the
+    solid-entry check, and the cube-mode face seed.  Returns the loop
+    carry ``(cell, cell_exit, active, face, res, n_steps, t_exit)`` —
+    everything per-lane, so a compaction driver may permute it between
+    bounded stepping rounds (``march_lanes_compact``)."""
     n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
     h_v = h_l if jnp.ndim(h_l) == 0 else h_l[..., None]
     ext_v = ext_l if jnp.ndim(ext_l) == 0 else ext_l[..., None]
-    del as_lane
 
     def pos_to_cell(p):
         return jnp.floor((p + ext_v) / h_v).astype(jnp.int32)
-
-    def is_valid_cell(cell):
-        return jnp.all((cell >= 0) & (cell + 1 < n_v), axis=-1)
-
-    def is_valid_voxel(cell):
-        return jnp.all((cell >= 0) & (cell < n_v), axis=-1)
 
     if node_geometry is None:
         def node_geometry(cell, av):
@@ -269,9 +235,44 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         cur_face = _entry_face_normal(
             o, d, jnp.where(pos_branch, t_enter_b, t_enter), ext_v)
 
+    steps0 = jnp.zeros_like(cell0[..., 0])
+    return (cell0, cell_exit0, active, cur_face, result, steps0, t_exit)
+
+
+def _march_run(carry, corner_fetch, voxel_fetch, accel_fetch, n_l, h_l,
+               ext_l, accel_mode: str, o, d, t_max, interp: bool,
+               debug_overlay: bool, fused: bool = False,
+               node_geometry=None, voxel_owned=None,
+               max_steps: int = MAX_ITERATIONS):
+    """Run the march loop for up to ``max_steps`` iterations from a
+    ``_march_begin``-shaped carry; returns the updated carry.  Lane
+    activity is monotone-decreasing, so an always-active lane's total
+    iteration count across chained runs is the sum of their budgets —
+    chaining runs whose budgets sum to ``MAX_ITERATIONS`` is bit-identical
+    to one full run."""
+    n_v = n_l if jnp.ndim(n_l) == 0 else n_l[..., None]
+    h_v = h_l if jnp.ndim(h_l) == 0 else h_l[..., None]
+    ext_v = ext_l if jnp.ndim(ext_l) == 0 else ext_l[..., None]
+
+    def pos_to_cell(p):
+        return jnp.floor((p + ext_v) / h_v).astype(jnp.int32)
+
+    def is_valid_cell(cell):
+        return jnp.all((cell >= 0) & (cell + 1 < n_v), axis=-1)
+
+    def is_valid_voxel(cell):
+        return jnp.all((cell >= 0) & (cell < n_v), axis=-1)
+
+    if node_geometry is None:
+        def node_geometry(cell, av):
+            return node_box_from_accel(cell, av, accel_mode, n_v, h_l, h_v,
+                                       ext_v)
+
+    (cell0, cell_exit0, active0, face0, res0, steps0, t_exit) = carry
+
     def cond(state):
         it, _, _, act, _, _, _ = state
-        return jnp.any(act) & (it < MAX_ITERATIONS)
+        return jnp.any(act) & (it < max_steps)
 
     def body(state):
         it, cell, cell_exit, act, face, res, n_steps = state
@@ -367,12 +368,15 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
         return (it + 1, cell, cell_exit, new_active, face, res, n_steps)
 
     it0 = jnp.asarray(0, jnp.int32)
-    steps0 = jnp.zeros_like(cell0[..., 0])
-    _, _, _, still_active, _, result, n_steps = jax.lax.while_loop(
-        cond, body, (it0, cell0, cell_exit0, active, cur_face, result,
-                     steps0))
+    _, cell1, cell_exit1, active1, face1, res1, steps1 = jax.lax.while_loop(
+        cond, body, (it0, cell0, cell_exit0, active0, face0, res0, steps0))
+    return (cell1, cell_exit1, active1, face1, res1, steps1, t_exit)
 
-    # 255-iteration exhaustion: unlit red hit at t = 10.
+
+def _march_finish(carry, t_max) -> MarchHit:
+    """Close out a march carry: still-active lanes hit the 255-iteration
+    exhaustion — unlit red hit at t = 10 (``SH/Raytracing.hlsl:325-334``)."""
+    _, _, still_active, _, result, n_steps, _ = carry
     acc = still_active & (EXHAUSTED_T <= t_max)
     result = MarchHit(
         hit=jnp.where(acc, True, result.hit),
@@ -385,6 +389,55 @@ def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
     import dataclasses as _dc
 
     return _dc.replace(result, steps=n_steps)
+
+
+def _march_core(corner_fetch, voxel_fetch, accel_fetch, n_l, h_l, ext_l,
+                accel_mode: str, o, d, t_max, interp: bool,
+                debug_overlay: bool, fused: bool = False,
+                node_geometry=None, lane_ok=None, t_exit_cap=None,
+                voxel_owned=None) -> MarchHit:
+    """The march loop over lanes with (possibly per-lane) volume geometry:
+    ``_march_begin`` -> ``_march_run`` (full 255-iteration budget) ->
+    ``_march_finish``.
+
+    corner_fetch(cell) -> v8 [L,8] (or (v8, accel) when ``fused``);
+    voxel_fetch(cell) -> [L]; accel_fetch(cell) -> [L] packed accel;
+    n_l/h_l/ext_l are scalars or [L] lane arrays.
+
+    ``node_geometry(cell, av) -> (valid, has_surf, node_lo, node_hi)``
+    overrides the skip-node box (default: ``node_box_from_accel``) — the
+    slab-sharded march supplies owned-cell boxes plus giant out-of-slab
+    spans through this hook, so one loop serves both (VERDICT r2 item 3).
+    ``lane_ok`` masks lanes off before the loop; ``t_exit_cap`` clamps the
+    traversal exit t (slab chord retirement).  ``voxel_owned(cell)`` gates
+    cube-mode solid tests (a slab shard must not claim voxels whose density
+    it does not store — its fetch reads 0 there, which cube mode would
+    otherwise take as solid).
+
+    The march is gather-bound on TPU, so the fetch strategy is chosen by
+    corner-table size (static, from the packed channel count — see
+    ``DeviceVolume.from_volume``):
+
+    - ``fused`` (tables <= FUSE_BUDGET_BYTES): ONE 9-channel gather per
+      step (8 corners + packed accel).
+    - split-phase (larger HBM tables): every step gathers only the 1-byte
+      packed accel (node skip + surface flag); the aligned 8-corner row
+      needed for root finding is gathered under a ``lax.cond`` that only
+      fires on iterations where some lane sits in a surface-flagged cell.
+
+    Both walk the same cells with the same biases and root brackets —
+    hits are bit-identical.
+    """
+    carry = _march_begin(corner_fetch, accel_fetch, n_l, h_l, ext_l,
+                         accel_mode, o, d, t_max, interp, fused=fused,
+                         node_geometry=node_geometry, lane_ok=lane_ok,
+                         t_exit_cap=t_exit_cap)
+    carry = _march_run(carry, corner_fetch, voxel_fetch, accel_fetch,
+                       n_l, h_l, ext_l, accel_mode, o, d, t_max, interp,
+                       debug_overlay, fused=fused,
+                       node_geometry=node_geometry, voxel_owned=voxel_owned,
+                       max_steps=MAX_ITERATIONS)
+    return _march_finish(carry, t_max)
 
 
 def _make_corner_fetch(vol: DeviceVolume, fetch):
@@ -436,19 +489,11 @@ def march_volume(vol: DeviceVolume, o, d, t_max, interp: bool = True,
                        o, d, t_max, interp, debug_overlay, fused=fused)
 
 
-def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
-                interp: bool = True,
-                debug_overlay: bool = False) -> MarchHit:
-    """March lanes against per-lane volumes from a stacked DeviceVolume.
-
-    ``vols`` is stacked over a leading V axis; ``vol_ids`` [L] selects a
-    volume per lane.  One while_loop covers every (ray, instance) pair —
-    the fused scene traversal.
-    """
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    vols = jax.lax.stop_gradient(vols)
-
+def _lanes_env(vols: DeviceVolume, vol_ids):
+    """Fetchers + per-lane geometry for marching lanes against a stacked
+    DeviceVolume: -> (fetch, corner_fetch, accel_fetch, fused, n_l, h_l,
+    ext_l).  The fetchers close over ``vol_ids``, so a compaction driver
+    rebuilds this env after permuting lanes."""
     n_l = vols.n[vol_ids]
     h_l = vols.cell_size[vol_ids]
     ext_l = vols.extends[vol_ids]
@@ -488,6 +533,318 @@ def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
         def corner_fetch(cell):
             return iso.gather_corners(fetch, cell)
 
+    return fetch, corner_fetch, accel_fetch, fused, n_l, h_l, ext_l
+
+
+def march_lanes(vols: DeviceVolume, vol_ids, o, d, t_max,
+                interp: bool = True,
+                debug_overlay: bool = False) -> MarchHit:
+    """March lanes against per-lane volumes from a stacked DeviceVolume.
+
+    ``vols`` is stacked over a leading V axis; ``vol_ids`` [L] selects a
+    volume per lane.  One while_loop covers every (ray, instance) pair —
+    the fused scene traversal.
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    vols = jax.lax.stop_gradient(vols)
+    fetch, corner_fetch, accel_fetch, fused, n_l, h_l, ext_l = _lanes_env(
+        vols, vol_ids)
     return _march_core(corner_fetch, fetch, accel_fetch, n_l, h_l, ext_l,
                        vols.accel_mode, o, d, t_max, interp, debug_overlay,
                        fused=fused)
+
+
+# ---------------------------------------------------------------------------
+# Mid-march compaction: slim carry packing.
+#
+# v5e row-gather throughput is width-sensitive (measured, 2M rows): 8 f32
+# columns (a 32 B row) permute in 17.9 ms, but 16 cols cost 53 ms, 26 cols
+# 108 ms, and leaf-wise gathers 437 ms.  The march carry therefore packs
+# into EXACTLY two [L,8] f32 matrices — small ints bit-packed, unit/sign
+# normals stored as 2-bit trits — so one compaction round costs two 32 B-row
+# gathers plus a 2M argsort (~10 ms).
+# ---------------------------------------------------------------------------
+
+_TRIT_NAN_BIT = 6
+
+
+def _encode_trits(f):
+    """[L,3] sign/unit-normal vector -> 7-bit code: 2 bits/axis
+    (0 zero, 1 positive, 2 negative) + a NaN flag (bit 6).  Covers every
+    value the march stores in its face fields: entry-face normals (sign
+    triples normalized, NaN when the triple is zero), cube step normals
+    (+-unit axes), and zeros."""
+    nan = jnp.any(jnp.isnan(f), axis=-1)
+    t = jnp.where(f > 0, 1, jnp.where(f < 0, 2, 0)).astype(jnp.int32)
+    code = t[..., 0] | (t[..., 1] << 2) | (t[..., 2] << 4)
+    return jnp.where(nan, 1 << _TRIT_NAN_BIT, code)
+
+
+def _decode_trits(code):
+    """Inverse of ``_encode_trits``: rebuilds the vector with the SAME
+    normalize expression the march used (sign triple / L2 norm), so decoded
+    values are bit-identical — including the reference's NaN for a zero
+    sign triple at a volume-entry corner."""
+    t = jnp.stack([(code >> s) & 3 for s in (0, 2, 4)], axis=-1)
+    s = ((t == 1).astype(jnp.float32) - (t == 2).astype(jnp.float32))
+    nan = (code >> _TRIT_NAN_BIT) & 1
+    n = jnp.linalg.norm(s, axis=-1, keepdims=True)
+    unit = jnp.where(n > 0, s / jnp.where(n > 0, n, 1.0), 0.0)
+    return jnp.where((nan == 1)[..., None], jnp.nan,
+                     jnp.where(n > 0, unit, 0.0))
+
+
+_NORMAL_BIT = 1 << 30
+
+
+def _f32(i):
+    """Bitcast a (<= 30-bit) int payload into an f32 carry column.  Bit 30
+    is forced on so the float is always NORMAL: small ints would otherwise
+    bitcast to f32 subnormals, which TPU float paths flush to zero —
+    silently corrupting the payload (observed: scrambled lane order after
+    the final unpermute).  Bit patterns stay < 0x7F800000, so they are
+    never NaN/inf either (NaN payloads are not copy-stable on all paths)."""
+    return jax.lax.bitcast_convert_type(
+        i.astype(jnp.int32) | _NORMAL_BIT, jnp.float32)
+
+
+def _i32(f):
+    return jax.lax.bitcast_convert_type(f, jnp.int32) & (_NORMAL_BIT - 1)
+
+
+# meta column bit layout (ray matrix col 7)
+_ORDER_BITS = 23          # supports frames up to 8.3M lanes
+_VOL_SHIFT = _ORDER_BITS  # 5 bits of volume id
+_OK_SHIFT = _ORDER_BITS + 5
+
+
+def _pack_rays(o, d, t_max, vol, ok, order):
+    meta = order | (vol << _VOL_SHIFT) | (ok.astype(jnp.int32) << _OK_SHIFT)
+    return jnp.concatenate(
+        [o, d, t_max[:, None], _f32(meta)[:, None]], axis=1)
+
+
+def _unpack_rays(ray8):
+    meta = _i32(ray8[:, 7])
+    return (ray8[:, 0:3], ray8[:, 3:6], ray8[:, 6],
+            (meta >> _VOL_SHIFT) & 31, ((meta >> _OK_SHIFT) & 1) == 1,
+            meta & ((1 << _ORDER_BITS) - 1))
+
+
+def _pack_state(carry):
+    """March carry -> [L,8] f32: cell (10 bits/axis, bias +2 — carried
+    cells stray at most one cell outside the grid), cell_exit, flags
+    (active, res.hit, res.kind, n_steps, two trit-coded normals), res.t,
+    res.t_in, res.t_out, res.cell (10 bits/axis), t_exit."""
+    cell, cell_exit, active, face, res, n_steps, t_exit = carry
+    c = jnp.clip(cell + 2, 0, 1023)
+    cellpack = c[..., 0] | (c[..., 1] << 10) | (c[..., 2] << 20)
+    rc = jnp.clip(res.cell, 0, 1023)
+    rescellpack = rc[..., 0] | (rc[..., 1] << 10) | (rc[..., 2] << 20)
+    flags = (active.astype(jnp.int32)
+             | (res.hit.astype(jnp.int32) << 1)
+             | (res.kind << 2)
+             | (jnp.minimum(n_steps, 255) << 5)
+             | (_encode_trits(face) << 13)
+             | (_encode_trits(res.face_normal) << 20))
+    cols = [_f32(cellpack), cell_exit, _f32(flags), res.t, res.t_in,
+            res.t_out, _f32(rescellpack), t_exit]
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_state(st8):
+    cellpack = _i32(st8[:, 0])
+    cell = jnp.stack([(cellpack >> s) & 1023 for s in (0, 10, 20)],
+                     axis=-1) - 2
+    flags = _i32(st8[:, 2])
+    rescellpack = _i32(st8[:, 6])
+    res = MarchHit(
+        hit=((flags >> 1) & 1) == 1,
+        t=st8[:, 3],
+        kind=(flags >> 2) & 7,
+        cell=jnp.stack([(rescellpack >> s) & 1023 for s in (0, 10, 20)],
+                       axis=-1),
+        t_in=st8[:, 4],
+        t_out=st8[:, 5],
+        face_normal=_decode_trits((flags >> 20) & 127))
+    return (cell, st8[:, 1], (flags & 1) == 1,
+            _decode_trits((flags >> 13) & 127), res,
+            (flags >> 5) & 255, st8[:, 7])
+
+
+def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
+                        interp: bool = True, chunk: int = 8192,
+                        schedule: tuple = (4, 12, 239),
+                        debug_overlay: bool = False) -> MarchHit:
+    """``march_lanes`` with mid-march live-lane compaction.
+
+    Lane activity in the march is monotone-decreasing, but a chunk's
+    while_loop runs until its SLOWEST lane retires — on the flagship 1080p
+    frame that divergence costs 2.4-2.9x the active work (lockstep 9.4 vs
+    active 3.3 rows/ray, scripts/probe_steps_hist.py).  This driver marches
+    in bounded rounds: before each round, still-live lanes are packed to
+    the front (one stable sort on the activity flag + ONE packed-row
+    gather of the whole carry, ``_permute_packed``), the carry is chunked,
+    and all-dead chunks are skipped by ``lax.cond``.  Round budgets must
+    sum to MAX_ITERATIONS, which makes the result bit-identical to
+    ``march_lanes`` (an always-active lane sees the same 255 iterations;
+    retired lanes' results are frozen in the carry).
+
+    ``o.shape[0]`` must be a multiple of ``chunk`` (callers pad).
+    Measured schedule on the flagship frame: (4, 12, 239) cuts primary
+    lockstep rows 1.9x and the deferred-shadow march 4.4x.
+    """
+    assert sum(schedule) == MAX_ITERATIONS, schedule
+    total = o.shape[0]
+    assert total < (1 << _ORDER_BITS), total
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
+    vols = jax.lax.stop_gradient(vols)
+
+    # Internal pad to the round-chunk multiple: the compaction rounds use
+    # WIDE chunks (the in-loop gather issue rate grows with lane width —
+    # 82M u8 rows/s at 64k lanes vs ~45M at 8k) independent of the
+    # caller's shading chunk size.  Pad lanes carry t_max=-inf -> dead.
+    pad = (-total) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max_p = jnp.concatenate([t_max, jnp.full(pad, -jnp.inf)])
+        vol_ids = jnp.concatenate(
+            [vol_ids, jnp.zeros(pad, vol_ids.dtype)])
+    else:
+        t_max_p = t_max
+    t_max_unpadded = t_max
+    t_max = t_max_p
+    total_padded = total + pad
+
+    # Gather-free liveness key for the first packing: the slab test (the
+    # march's own entry precondition).  ``_march_begin``'s entry gathers
+    # then run only inside live chunks — sky-dominated chunks never pay
+    # them, matching the per-chunk cond-skip of the un-compacted pipeline.
+    ext_l = vols.extends[vol_ids]
+    ok0, _, _ = ray_aabb(o, d, -ext_l[..., None], ext_l[..., None], t_max)
+
+    order = jnp.arange(total_padded, dtype=jnp.int32)
+    ray8 = _pack_rays(o, d, t_max, vol_ids.astype(jnp.int32), ok0, order)
+
+    def dead_carry(oc):
+        zf = oc[:, 0] * 0.0
+        zi = zf.astype(jnp.int32)
+        return (zi[..., None] + jnp.zeros(3, jnp.int32), zf, zi != 0,
+                oc * 0.0, MarchHit.none_like(oc), zi, zf)
+
+    st8 = None
+    for i, k in enumerate(schedule):
+        if i == 0:
+            key = ~_unpack_rays(ray8)[4]
+        else:
+            key = (_i32(st8[:, 2]) & 1) == 0       # ~active flag
+        perm = jnp.argsort(key, stable=True)
+        ray8 = ray8[perm]
+        st8 = None if st8 is None else st8[perm]
+
+        def run_chunk(s, k=k, first=(i == 0)):
+            r8 = s[0]
+            oc, dc, tc, vc, okc, _ = _unpack_rays(r8)
+
+            def live(_):
+                fetch_c, cf_c, af_c, fz, n_c, h_c, e_c = _lanes_env(
+                    vols, vc)
+                if first:
+                    carry_c = _march_begin(
+                        cf_c, af_c, n_c, h_c, e_c, vols.accel_mode,
+                        oc, dc, tc, interp, fused=fz)
+                else:
+                    carry_c = _unpack_state(s[1])
+                carry_c = _march_run(
+                    carry_c, cf_c, fetch_c, af_c, n_c, h_c, e_c,
+                    vols.accel_mode, oc, dc, tc, interp,
+                    debug_overlay, fused=fz, max_steps=k)
+                return _pack_state(carry_c)
+
+            def dead(_):
+                return (_pack_state(dead_carry(oc)) if first else s[1])
+
+            live_now = okc if first else ((_i32(s[1][:, 2]) & 1) == 1)
+            return jax.lax.cond(jnp.any(live_now), live, dead, None), r8
+
+        args = ((ray8.reshape(-1, chunk, 8),) if st8 is None
+                else (ray8.reshape(-1, chunk, 8),
+                      st8.reshape(-1, chunk, 8)))
+        st8, ray8 = jax.lax.map(run_chunk, args)
+        st8 = st8.reshape(-1, 8)
+        ray8 = ray8.reshape(-1, 8)
+
+    order_now = _unpack_rays(ray8)[5]
+    st8 = st8[jnp.argsort(order_now)]
+    if pad:
+        st8 = st8[:total]
+    carry = _unpack_state(st8)
+    return _march_finish(carry, t_max_unpadded)
+
+
+def march_lanes_chunked(vols: DeviceVolume, vol_ids, o, d, t_max,
+                        interp: bool = True, chunk: int = 8192,
+                        debug_overlay: bool = False) -> MarchHit:
+    """``march_lanes`` over fixed chunks with a slab-test cond-skip per
+    chunk — the frame-level marcher for candidate passes whose live
+    fraction is too small to amortize compaction's sorts (later TLAS
+    candidates, where the first pass already resolved most rays)."""
+    total = o.shape[0]
+    assert total % chunk == 0, (total, chunk)
+    ext_l = vols.extends[vol_ids]
+    ok, _, _ = ray_aabb(o, d, -ext_l[..., None], ext_l[..., None], t_max)
+
+    def one(x):
+        idc, oc, dc, tc, okc = x
+
+        def live(_):
+            return march_lanes(vols, idc, oc, dc, tc, interp=interp,
+                               debug_overlay=debug_overlay)
+
+        def dead(_):
+            import dataclasses as _dc
+
+            h = MarchHit.none_like(oc)
+            return _dc.replace(h, steps=jnp.zeros(oc.shape[0], jnp.int32))
+
+        return jax.lax.cond(jnp.any(okc), live, dead, None)
+
+    out = jax.lax.map(one, (vol_ids.reshape(-1, chunk),
+                            o.reshape(-1, chunk, 3),
+                            d.reshape(-1, chunk, 3),
+                            t_max.reshape(-1, chunk),
+                            ok.reshape(-1, chunk)))
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), out)
+
+
+def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
+                         schedule: tuple = (4, 12, 239)):
+    """Lane-marcher factory for ``march_scene``'s sequential candidate
+    passes: the FIRST pass (which carries nearly all march work) gets
+    mid-march compaction over WIDE chunks (``march_chunk`` — the in-loop
+    gather rate grows with lane width, and compaction caps the divergence
+    cost wide chunks would otherwise pay); later passes — already mostly
+    retired by the closest-hit t_max clamp — get the cheap chunked march
+    at the caller's shading granularity, whose full-width sorts they
+    could not amortize.  Create one marcher per march_scene call (the
+    counter is per-instance)."""
+    calls = {"n": 0}
+
+    def marcher(vols, vol_ids, o, d, t_max, interp=True,
+                debug_overlay=False):
+        j = calls["n"]
+        calls["n"] += 1
+        if j == 0:
+            return march_lanes_compact(vols, vol_ids, o, d, t_max,
+                                       interp=interp, chunk=march_chunk,
+                                       schedule=schedule,
+                                       debug_overlay=debug_overlay)
+        return march_lanes_chunked(vols, vol_ids, o, d, t_max,
+                                   interp=interp, chunk=chunk,
+                                   debug_overlay=debug_overlay)
+
+    return marcher

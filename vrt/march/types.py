@@ -78,11 +78,16 @@ class DeviceVolume:
     accel_mode: str = dataclasses.field(metadata=dict(static=True),
                                         default="octree")
 
-    # Corner tables at or below this size stay VMEM-resident on v5e and
-    # gather at ~420 M rows/s vs ~67-90 M from HBM
-    # (scripts/probe_table_cliff.py); for them ONE fused 9-channel gather
-    # per step (accel folded in) beats the split-phase fetch.
-    FUSE_BUDGET_BYTES = 5_000_000
+    # Fused-fetch cutoff, measured on the flagship 1080p frame march
+    # (round 4): at 65^3 x 2 volumes (9.4 MB stacked 9-ch bf16) the fused
+    # single gather beats split-phase 417 vs 503 ms — the per-step u8
+    # gather plus the cond corner row (which fires on most iterations of
+    # hit-heavy chunks) costs more than one 18 B row.  At 129^3 (75 MB
+    # stacked) split-phase wins 556 vs 709 ms.  The cutoff sits between:
+    # 12 MB per volume.  (Round 2's 5 MB VMEM-residency estimate from
+    # scripts/probe_table_cliff.py undershot — the frame-level measurement
+    # governs.)
+    FUSE_BUDGET_BYTES = 24_000_000
 
     @classmethod
     def from_volume(cls, vol: VoxelVolume, pad_to: int | None = None,

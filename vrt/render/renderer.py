@@ -76,7 +76,7 @@ def _object_normal_to_world(rot, scale, n_obj):
 
 
 def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
-                debug_overlay: bool = False):
+                debug_overlay: bool = False, lane_marcher=None):
     """Closest hit across all active instances — the TLAS equivalent.
 
     DXR-style sequential candidate traversal: per ray, candidate instances
@@ -98,22 +98,35 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
 
     Returns (hit: MarchHit (object-space brackets of the winning instance),
     inst: i32 [R] winning instance id, -1 when none).
+
+    ``lane_marcher`` overrides the per-candidate lane march (signature of
+    ``march_lanes``) — the compacted frame-wide march passes
+    ``march_lanes_compact`` here.
     """
     from vrt.march.march import march_lanes, ray_aabb
 
+    lane_marcher = lane_marcher or march_lanes
+
     n_inst = scene.num_instances
 
-    qi = vq.conjugate(scene.inst_rot)[:, None, :]            # [I,1,4]
-    o_obj = vq.rotate(qi, (o_w[None] - scene.inst_pos[:, None])
-                      / scene.inst_scale[:, None])           # [I,R,3]
-    d_obj = vq.rotate(qi, d_w[None] / scene.inst_scale[:, None])
-
+    # Per-instance object-space rays + slab tests, all ELEMENTWISE (a
+    # static unroll over <= 20 instances).  The per-pass candidate pick
+    # below is a where-chain over these — measured ~400 ms/frame cheaper
+    # at 2M lanes than materializing [I,R,3] arrays and gathering rows
+    # along axis 0 (axis-0 take_along_axis compiles to a per-element
+    # gather on TPU).
+    o_objs, d_objs, oks, keys = [], [], [], []
     ext_i = scene.volumes.extends[scene.inst_volume]         # [I]
-    ok, t_enter, _ = ray_aabb(o_obj, d_obj,
-                              -ext_i[:, None, None], ext_i[:, None, None],
-                              t_max[None])
-    ok = ok & scene.inst_active[:, None]                     # [I,R]
-    key = jnp.where(ok, t_enter, jnp.inf)
+    for i in range(n_inst):
+        o_i, d_i = _world_to_object(scene.inst_pos[i], scene.inst_rot[i],
+                                    scene.inst_scale[i], o_w, d_w)
+        ok_i, te_i, _ = ray_aabb(o_i, d_i, -ext_i[i], ext_i[i], t_max)
+        ok_i = ok_i & scene.inst_active[i]
+        o_objs.append(o_i)
+        d_objs.append(d_i)
+        oks.append(ok_i)
+        keys.append(jnp.where(ok_i, te_i, jnp.inf))
+    key = jnp.stack(keys)                                    # [I,R]
     order = jnp.argsort(key, axis=0)                         # [I,R]
 
     best = MarchHit.none_like(o_w)
@@ -121,17 +134,22 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
     best_t = jnp.full(o_w.shape[0], jnp.inf)
     total_steps = jnp.zeros(o_w.shape[0], jnp.int32)
 
+    def pick(rows, inst_j):
+        out = rows[0]
+        for i in range(1, n_inst):
+            m = inst_j == i
+            m = m.reshape(m.shape + (1,) * (rows[i].ndim - m.ndim))
+            out = jnp.where(m, rows[i], out)
+        return out
+
     for j in range(n_inst):
         inst_j = order[j]                                    # [R]
-        live = (jnp.take_along_axis(ok, inst_j[None], axis=0)[0]
-                & (jnp.take_along_axis(key, inst_j[None], axis=0)[0]
-                   < best_t))
+        live = pick(oks, inst_j) & (pick(keys, inst_j) < best_t)
         t_max_j = jnp.where(live, jnp.minimum(t_max, best_t), -jnp.inf)
-        sel3 = inst_j[None, :, None]
-        o_j = jnp.take_along_axis(o_obj, sel3, axis=0)[0]    # [R,3]
-        d_j = jnp.take_along_axis(d_obj, sel3, axis=0)[0]
-        h = march_lanes(scene.volumes, scene.inst_volume[inst_j], o_j, d_j,
-                        t_max_j, interp=interp, debug_overlay=debug_overlay)
+        o_j = pick(o_objs, inst_j)                           # [R,3]
+        d_j = pick(d_objs, inst_j)
+        h = lane_marcher(scene.volumes, scene.inst_volume[inst_j], o_j, d_j,
+                         t_max_j, interp=interp, debug_overlay=debug_overlay)
         # per-lane work accounting accumulates over ALL candidate passes
         # (roofline instrumentation); the winner-select strips it first.
         total_steps = total_steps + h.steps
@@ -429,7 +447,7 @@ def _dead_shadow_aux(o_w):
 def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
                    active=None, defer_reflection: bool = False,
                    defer_dir_shadow: bool = False,
-                   tracer: SceneTracer = None):
+                   tracer: SceneTracer = None, premarched=None):
     """One radiance dispatch level; returns linear rgb [R,3].
 
     Mirrors ``TraceRadianceRay`` + closest-hit/miss resolution; recursion is
@@ -457,11 +475,16 @@ def trace_radiance(scene: GPUScene, o_w, d_w, depth: int, mode: RenderMode,
         return out if len(out) > 1 else rgb0
 
     tracer = tracer or _DEFAULT_TRACER
-    t_max = jnp.full(r, RADIANCE_TMAX)
-    if active is not None:
-        t_max = jnp.where(active, t_max, -jnp.inf)
-    hit, inst = tracer.march(scene, o_w, d_w, t_max, mode.interp,
-                             debug_overlay=mode.debug_overlay)
+    if premarched is not None:
+        # The root march already ran frame-wide (the compacted wavefront
+        # march); this level only resolves and shades its slice of hits.
+        hit, inst = premarched
+    else:
+        t_max = jnp.full(r, RADIANCE_TMAX)
+        if active is not None:
+            t_max = jnp.where(active, t_max, -jnp.inf)
+        hit, inst = tracer.march(scene, o_w, d_w, t_max, mode.interp,
+                                 debug_overlay=mode.debug_overlay)
     t, n_obj, unlit_attr = tracer.resolve(scene, o_w, d_w, hit, inst)
 
     # Sanitize miss lanes before shading: their values are discarded by the
@@ -594,13 +617,15 @@ def _scene_hit_key(scene: GPUScene, o_w, d_w):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "mode", "chunk_size",
-                                   "sort_rays", "bounce_sort", "remat"))
+                                   "sort_rays", "bounce_sort", "remat",
+                                   "compact"))
 def render_image(scene: GPUScene, width: int, height: int,
                  mode: RenderMode = RenderMode(),
                  chunk_size: int | None = None,
                  sort_rays: bool = False,
                  bounce_sort: bool = False,
-                 remat: bool = False):
+                 remat: bool = False,
+                 compact: bool = False):
     """Full frame: camera rays -> radiance -> tonemap.  [H,W,4] float32.
 
     ``chunk_size`` splits the pixel batch into independently-marched chunks
@@ -619,6 +644,17 @@ def render_image(scene: GPUScene, width: int, height: int,
     every chunk's shading residuals across the whole frame — which blows
     host memory/the TPU compile helper at 1080p.  Forward-only rendering is
     unaffected (checkpoint is the identity without a grad).
+
+    ``compact`` runs the PRIMARY march frame-wide with mid-march live-lane
+    compaction over wide chunks (``march_lanes_compact``) instead of
+    per-chunk while_loops, then resolves/shades per chunk against the
+    precomputed hits.  Hits are equivalent modulo float-ULP (the compacted
+    rounds compile separately, so FMA contraction can differ at bracket
+    boundaries).  The bounce/shadow passes keep the sorted-chunk path:
+    their live fractions are small enough that the existing sort already
+    packs them, and compaction's full-width sorts+row-gathers were
+    measured to cost more than they save there
+    (scripts/probe_steps_hist.py, probe_march_width.py).
     """
     from vrt.render.camera import camera_rays
 
@@ -647,18 +683,42 @@ def render_image(scene: GPUScene, width: int, height: int,
         defer_refl = mode.lit and scene.any_reflective
         defer_sh = mode.lit
 
+        compact_marcher = None
+        if compact:
+            from vrt.march.march import make_compact_marcher
+
+            compact_marcher = partial(make_compact_marcher, chunk_size)
+            p_hit, p_inst = march_scene(
+                scene, o, d, jnp.full(o.shape[0], RADIANCE_TMAX),
+                mode.interp, debug_overlay=mode.debug_overlay,
+                lane_marcher=compact_marcher())
+            chunked = lambda x: x.reshape((-1, chunk_size) + x.shape[2:])  # noqa: E731,E501
+            p_hit_c = jax.tree.map(
+                lambda x: x.reshape((-1, chunk_size) + x.shape[1:]), p_hit)
+            p_inst_c = p_inst.reshape(-1, chunk_size)
+            del chunked
+
         def primary_chunk(od):
-            oc1, dc1 = od
-            # Chunks whose rays can hit no instance AABB shade as pure env
-            # misses; lax.cond skips the march/resolve/shadow programs at
-            # RUNTIME for them (sky is most of a frame, and its fixed
-            # full-width entry/resolve gathers dominated dead chunks).
-            can_hit = jnp.any(_scene_hit_key(scene, oc1, dc1) < 0)
+            if compact:
+                oc1, dc1, hc1, ic1 = od
+                # the frame-wide march already knows: skip resolve/shade
+                # for chunks with no hits at all (pure env misses)
+                can_hit = jnp.any(hc1.hit)
+            else:
+                oc1, dc1 = od
+                # Chunks whose rays can hit no instance AABB shade as pure
+                # env misses; lax.cond skips the march/resolve/shadow
+                # programs at RUNTIME for them (sky is most of a frame, and
+                # its fixed full-width entry/resolve gathers dominated dead
+                # chunks).
+                can_hit = jnp.any(_scene_hit_key(scene, oc1, dc1) < 0)
 
             def live(_):
-                return trace_radiance(scene, oc1, dc1, 0, mode,
-                                      defer_reflection=defer_refl,
-                                      defer_dir_shadow=defer_sh)
+                return trace_radiance(
+                    scene, oc1, dc1, 0, mode,
+                    defer_reflection=defer_refl,
+                    defer_dir_shadow=defer_sh,
+                    premarched=(hc1, ic1) if compact else None)
 
             def dead(_):
                 rgb = _tex.sample_env(scene.env, dc1)
@@ -675,7 +735,8 @@ def render_image(scene: GPUScene, width: int, height: int,
             primary_chunk = jax.checkpoint(
                 primary_chunk,
                 policy=jax.checkpoint_policies.save_only_these_names("march"))
-        out = jax.lax.map(primary_chunk, (oc, dc))
+        p_args = (oc, dc, p_hit_c, p_inst_c) if compact else (oc, dc)
+        out = jax.lax.map(primary_chunk, p_args)
         if defer_refl or defer_sh:
             parts = list(out)
             flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
