@@ -71,7 +71,7 @@ def child():
 
     def render(scene):
         return render_image(scene, WIDTH, HEIGHT, mode, chunk_size=CHUNK,
-                            sort_rays=True)
+                            sort_rays=True, compact=True)
 
     # warmup + compile.  Under the axon runtime block_until_ready can return
     # before execution completes; the scalar readback is the queue drain.

@@ -101,6 +101,27 @@ def _compute(n_data: int, n_model: int):
     sparams2, _, sloss = sstep(sparams, sstate, slabs_g, og, dg, tg)
     out["slab_loss"] = float(sloss)
     out["slab_param_sum"] = float(jnp.sum(sparams2))
+
+    # ---- CROSSED (data x model) step over (n/2, 2): DP psum AND slab
+    # ppermute/all_gather cross process boundaries in the SAME step ------
+    if n_data >= 4 and n_data % 2 == 0:
+        from vrt.dist.slab_render import make_slab_fit_step_crossed
+
+        mesh_x = make_render_mesh(n_data // 2, 2)
+        slab_x = NamedSharding(mesh_x, P("model"))
+        ray_x = NamedSharding(mesh_x, P(("data", "model")))
+        slabs2 = shard_volume(vol, 2)
+        opt_x = optax.sgd(1e-2)
+        xstep = make_slab_fit_step_crossed(mesh_x, opt_x, fit_scene)
+        xparams = jax.device_put(slabs2.sdf, slab_x)
+        xstate = jax.device_put(opt_x.init(slabs2.sdf), slab_x)
+        slabs2_g = jax.device_put(slabs2, slab_x)
+        og = jax.device_put(jnp.asarray(o), ray_x)
+        dg = jax.device_put(jnp.asarray(d), ray_x)
+        tg = jax.device_put(jnp.asarray(targets), ray_x)
+        xparams2, _, xloss = xstep(xparams, xstate, slabs2_g, og, dg, tg)
+        out["crossed_loss"] = float(xloss)
+        out["crossed_param_sum"] = float(jnp.sum(xparams2))
     return out
 
 
@@ -185,7 +206,11 @@ def main():
         mp = json.load(open(mp_path))
 
     report = {"nprocs": args.nprocs, "ref": ref, "multiprocess": mp}
-    for key in ("dp_loss", "dp_param_sum", "slab_loss", "slab_param_sum"):
+    keys = ["dp_loss", "dp_param_sum", "slab_loss", "slab_param_sum"]
+    if "crossed_loss" in ref:
+        keys += ["crossed_loss", "crossed_param_sum"]
+        assert "crossed_loss" in mp, "crossed step missing multi-process"
+    for key in keys:
         a, b = ref[key], mp[key]
         rel = abs(a - b) / max(abs(a), 1e-8)
         assert rel < 1e-4, (key, a, b)

@@ -12,15 +12,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_two_process_fit_parity():
+def _run(nprocs):
     script = os.path.join(REPO, "scripts", "multiprocess_fit.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children pin their own 1-device count
     # no --port: the parent picks a free one at runtime (collision-safe
     # against concurrent test runs on a shared host)
-    out = subprocess.run([sys.executable, script, "--nprocs", "2"],
+    out = subprocess.run([sys.executable, script, "--nprocs", str(nprocs)],
                          env=env, cwd=REPO, capture_output=True, text=True,
                          timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
-    report = json.loads(out.stdout.strip().splitlines()[-1])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_two_process_fit_parity():
+    report = _run(2)
     assert report["ok"] and report["multiprocess"]["process_count"] == 2
+
+
+def test_four_process_crossed_mesh_parity():
+    """2x2 (data x model) mesh over 4 Gloo processes: the DP gradient psum
+    AND the slab halo ppermute / ray all_gather cross process boundaries
+    in the SAME fit step, and match the single-process run (VERDICT r3
+    next-round item 8)."""
+    report = _run(4)
+    assert report["ok"] and report["multiprocess"]["process_count"] == 4
+    assert "crossed_loss" in report["multiprocess"]

@@ -55,8 +55,10 @@ def bench_forward(resolution, width, height, label, results, chunk=None):
         # sorted chunking enables per-chunk dead-skip (see renderer): pick
         # a size giving >= 8 chunks so sky regions actually retire early
         chunk = max(2048, min(8192, (width * height) // 8))
+    # compact's full-width sorts amortize only on big frames
     dt = _time(lambda: render_image(scene, width, height, RenderMode(),
-                                    chunk_size=chunk, sort_rays=True))
+                                    chunk_size=chunk, sort_rays=True,
+                                    compact=width * height >= 262144))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
@@ -115,7 +117,8 @@ def bench_voxelized_mesh(results, resolution=8, width=1920, height=1080,
     label = (f"config3 voxelized glTF {vol.n_voxels}^3 "
              f"{width}x{height} fwd")
     dt = _time(lambda: render_image(gpu, width, height, RenderMode(),
-                                    chunk_size=chunk, sort_rays=True))
+                                    chunk_size=chunk, sort_rays=True,
+                                    compact=True))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",

@@ -256,3 +256,57 @@ def make_slab_fit_step(mesh, optimizer, scene: GPUScene,
         return params, opt_state, loss
 
     return step
+
+
+def make_slab_fit_step_crossed(mesh, optimizer, scene: GPUScene,
+                               mode: RenderMode = RenderMode(),
+                               data_axis: str = "data",
+                               model_axis: str = MODEL_AXIS):
+    """CROSSED data x model fit step: one ``shard_map`` over a 2-D mesh in
+    which the slab halo ``ppermute`` / ray ``all_gather`` / owner ``psum``
+    ride the MODEL axis while the gradient all-reduce rides the DATA axis —
+    the same step exercises both collective families (SURVEY section 2.11
+    items 2-4 together).
+
+    Sharding: params/slabs are sharded over ``model_axis`` and replicated
+    over ``data_axis``; rays/targets are sharded over BOTH (each device
+    owns an R/(D*S) slice — its data-row's rays, further split across the
+    model axis like ``make_slab_fit_step``'s).  The in-loss psum over the
+    data axis makes the loss global; the explicit psum of the slab
+    gradient over ``data_axis`` is the DP all-reduce.
+
+    step(params [S,span,N,N], opt_state, slabs, o, d, targets [R,3]) ->
+    (params, opt_state, loss).  R must divide by D*S.
+    """
+    both = (data_axis, model_axis)
+
+    @jax.jit
+    def step(params, opt_state, slabs: SlabVolume, o, d, targets):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(model_axis), P(model_axis), P(both), P(both),
+                           P(both)),
+                 out_specs=(P(model_axis), P()))
+        def local_grad(params, slabs, o, d, targets):
+            slab = jax.tree.map(lambda x: x[0], slabs)
+
+            def loss_fn(sdf):
+                s = dataclasses.replace(slab, sdf=sdf)
+                s = exchange_halos(s, model_axis)
+                tracer = GatherSlabTracer(s, model_axis)
+                rgb = trace_radiance(scene, o, d, 0, mode, tracer=tracer)
+                img = tonemap(rgb)
+                se = jnp.sum((img - targets) ** 2)
+                n = jax.lax.psum(jnp.float32(img.size), both)
+                return jax.lax.psum(se, both) / n
+
+            loss, g = jax.value_and_grad(loss_fn)(params[0])
+            # DP gradient all-reduce: each data row saw different rays
+            g = jax.lax.psum(g, data_axis)
+            return g[None], loss
+
+        grads, loss = local_grad(params, slabs, o, d, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

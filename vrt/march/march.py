@@ -675,7 +675,7 @@ def _unpack_state(st8):
 
 def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
                         interp: bool = True, chunk: int = 8192,
-                        schedule: tuple = (4, 12, 239),
+                        schedule: tuple = (8, 247),
                         debug_overlay: bool = False) -> MarchHit:
     """``march_lanes`` with mid-march live-lane compaction.
 
@@ -692,8 +692,10 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
     retired lanes' results are frozen in the carry).
 
     ``o.shape[0]`` must be a multiple of ``chunk`` (callers pad).
-    Measured schedule on the flagship frame: (4, 12, 239) cuts primary
-    lockstep rows 1.9x and the deferred-shadow march 4.4x.
+    Measured on the flagship frame: compaction cuts primary lockstep rows
+    ~1.9x; the (8, 247) schedule won the on-chip sweep (479 ms vs 539 for
+    (4, 12, 239) and 632 for (2, 6, 24, 223), scripts/probe_steps_hist.py
+    + the round-4 sweep).
     """
     assert sum(schedule) == MAX_ITERATIONS, schedule
     total = o.shape[0]
@@ -822,7 +824,7 @@ def march_lanes_chunked(vols: DeviceVolume, vol_ids, o, d, t_max,
 
 
 def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
-                         schedule: tuple = (4, 12, 239)):
+                         schedule: tuple = (8, 247)):
     """Lane-marcher factory for ``march_scene``'s sequential candidate
     passes: the FIRST pass (which carries nearly all march work) gets
     mid-march compaction over WIDE chunks (``march_chunk`` — the in-loop

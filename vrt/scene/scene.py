@@ -181,10 +181,16 @@ class Scene:
         object.__setattr__(gpu, "_vrt_volume_ids", ids)
         return gpu
 
-    def to_gpu(self, pad_volumes_to: Optional[int] = None):
+    def to_gpu(self, pad_volumes_to: Optional[int] = None,
+               accel_mode: str = "chebyshev"):
         """Assemble the device scene pytree (``GPUScene``), loading any
         material-referenced textures into the atlas (the DX backend's
-        path-keyed geometry texture cache, ``RDXScene.cpp:877-926``)."""
+        path-keyed geometry texture cache, ``RDXScene.cpp:877-926``).
+
+        ``accel_mode`` defaults to the Chebyshev distance map — bigger
+        empty-space skips than the octree skip-level field with IDENTICAL
+        hits (equivalence-tested); pass "octree" for reference-traversal
+        parity studies."""
         from vrt.render.gpuscene import build_scene
         from vrt.render.textures import build_texture_atlas
 
@@ -217,4 +223,4 @@ class Scene:
                                   vq.forward_vector(np.asarray(s.rotation))))
                          for s in self.spot_lights],
             env=self.environment,
-            pad_volumes_to=pad_volumes_to)
+            pad_volumes_to=pad_volumes_to, accel_mode=accel_mode)
