@@ -111,6 +111,44 @@ def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0):
     return cams
 
 
+def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3):
+    """Finite-difference check of the fit gradient in the SAME memory-lean
+    configuration (bf16 corner table, deferred wavefront, remat) at a
+    resolution where 2k+1 full losses are affordable.  Returns per-voxel
+    (analytic, fd, rel_err) rows for the k largest-|g| SDF voxels."""
+    from vrt.diff.fit import graft_params, rebuild_accel, render_views
+    from vrt.render.gpuscene import RenderMode
+
+    mode = RenderMode()
+    target_scene, scene = build_fit_scene(resolution)
+    cams = orbit_cams(2)
+    targets = jax.jit(lambda s: render_views(s, cams, size, size, mode,
+                                             chunk_size=chunk))(target_scene)
+
+    def loss(p):
+        s = rebuild_accel(graft_params(scene, p))
+        imgs = render_views(s, cams, size, size, mode, chunk_size=chunk)
+        return jnp.mean((imgs - targets) ** 2)
+
+    params = {"sdf": scene.volumes.sdf}
+    g = np.asarray(jax.jit(jax.grad(loss))(params)["sdf"])
+    base = np.asarray(scene.volumes.sdf)
+    loss_j = jax.jit(loss)
+    rows = []
+    for flat in np.argsort(-np.abs(g).ravel())[:k]:
+        idx = np.unravel_index(flat, g.shape)
+        p = base.copy()
+        p[idx] += eps
+        m = base.copy()
+        m[idx] -= eps
+        fd = (float(loss_j({"sdf": jnp.asarray(p)}))
+              - float(loss_j({"sdf": jnp.asarray(m)}))) / (2 * eps)
+        a = float(g[idx])
+        rows.append(dict(voxel=[int(i) for i in idx], analytic=a, fd=fd,
+                         rel_err=abs(fd - a) / max(abs(a), 1e-12)))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
@@ -118,6 +156,7 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--resolution", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--lr", type=float, default=8e-2)
     ap.add_argument("--out", default=os.path.join(REPO, "FIT_257.json"))
     args = ap.parse_args()
 
@@ -142,7 +181,10 @@ def main():
           f"{t_targets:.1f}s (incl. compile)", flush=True)
 
     params = {"sdf": scene.volumes.sdf, "voxel_colors": scene.voxel_colors}
-    opt = optax.adam(3e-1)
+    # cosine-decayed adam: the plateau after the first ~15 steps is
+    # noise-dominated (each voxel sees few rays per view); decaying the
+    # step keeps the curve descending instead of oscillating
+    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.1))
     state = opt.init(params)
     step = make_fit_step(scene, cams, w, h, mode, opt,
                          chunk_size=args.chunk)
@@ -166,6 +208,13 @@ def main():
     except Exception as e:  # noqa: BLE001
         mem = {"unavailable": repr(e)}
 
+    print("FD grad probe (res 5, same bf16/deferred/remat config)...",
+          flush=True)
+    fd_rows = fd_probe()
+    for r in fd_rows:
+        print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
+              f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}", flush=True)
+
     steady = sorted(times[1:])[:max(1, (len(times) - 1) // 2)]
     rays = args.views * w * h
     report = {
@@ -180,8 +229,11 @@ def main():
         "steady_step_s": round(float(np.mean(steady)), 2),
         "rays_per_s_fwd_bwd": round(rays / float(np.mean(steady)), 0),
         "target_render_s": round(t_targets, 1),
+        "fd_grad_probe_res5": fd_rows,
         "device_memory": mem,
-        "converged": losses[-1] < 0.5 * losses[0],
+        "loss_drop_pct": round(100.0 * (1.0 - losses[-1] / losses[0]), 1),
+        "descending": all(b <= a + 1e-5 for a, b in
+                          zip(losses, losses[1:])),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
