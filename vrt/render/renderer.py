@@ -776,6 +776,12 @@ def render_image(scene: GPUScene, width: int, height: int,
             db = refl_sorted["dir"].reshape(-1, chunk_size, 3)
             gb = refl_sorted["gate"].reshape(-1, chunk_size)
 
+            # NOTE: a frame-wide compacted bounce march (premarched hits,
+            # like the primary) was re-measured after the preamble and
+            # subnormal fixes and still LOSES: 1389 vs 1202 ms on the
+            # flagship frame — bounce live lanes are already clustered by
+            # the primary chord sort and the per-chunk cond skips the
+            # rest, so compaction's full-width sorts cannot amortize.
             def bounce_chunk(x):
                 oc1, dc1, g1 = x
 
