@@ -1,21 +1,33 @@
 """BASELINE config 4 AS WRITTEN: optimize a 257^3 voxel SDF + per-voxel
-color field from multi-view images (VERDICT r3 next-round item 3).
+color field from multi-view images — and make it CONVERGE (VERDICT r4
+item 2; round 4's single-resolution run walked uphill after step 7).
+
+Convergence design (all three levers the verdict named):
+
+- **coarse-to-fine**: stages 65^3 -> 129^3 -> 257^3; each stage's fitted
+  SDF/colors upsample trilinearly into the next (``upsample_params``).
+  At 65^3 every surface voxel sees hundreds of rays per view, so the
+  geometry converges there; fine stages only polish sub-cell detail.
+- **stochastic view cycling**: one view per step through a TRACED camera
+  (``make_fit_step_view`` — one compile per stage), cycling 8 orbit views;
+  per-voxel ray coverage accumulates across steps without widening any
+  single step.
+- **per-parameter lr**: SDF values live in world units (cell ~0.78 at
+  257^3) and colors in [0,1]; one adam lr cannot serve both, so
+  ``optax.multi_transform`` gives each its own cosine-decayed schedule.
 
 Memory-lean configuration at the reference's design-limit resolution
-(res 8 = 257^3, ``VOX/Private/VolumeConverter.cpp:43-47``):
+(res 8 = 257^3, ``VOX/Private/VolumeConverter.cpp:43-47``): bf16 corner
+table, deferred-wavefront fit forward with per-chunk save-march remat.
 
-- the march corner table is bf16 (halved bytes, quantization comparable
-  to the reference's own 15-bit fixed-point volume encoding); at 256^3
-  cells it is NOT VMEM-fused, so the split-phase u8-accel fetch carries
-  traversal and the in-jit differentiable repack is 9 GB smaller than a
-  round-3-style f32 9-channel table would be,
-- the fit forward runs the PRODUCTION deferred wavefront pipeline with
-  per-chunk remat (``render_views`` -> ``render_image(remat=True)``).
+Evidence written:
+- FIT_257.json — per-stage loss curves, wall clock, PSNR (train view +
+  HELD-OUT view, start vs fitted), device memory, FD probes (the res-5
+  bf16 probe and a NEW f32 probe at the full 257^3).
+- assets/fit257_target.png / assets/fit257_fitted.png — the held-out
+  view rendered from the target and the fitted field.
 
-Writes FIT_257.json: loss curve, per-step wall clock, device peak memory.
-
-Usage: python scripts/fit_257.py [--steps 20] [--size 512] [--views 4]
-       [--resolution 8]
+Usage: python scripts/fit_257.py [--size 512] [--stages 6:80 7:80 8:140]
 """
 import argparse
 import json
@@ -41,9 +53,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_fit_scene(resolution: int, seed: int = 0):
-    """Single 257^3-class volume + per-voxel color field: a CSG target
-    (sphere-minus-box shell) whose fit starts from an inflated sphere."""
+def build_fit_scene(resolution: int, seed: int = 0, march_dtype="bf16"):
+    """Single volume + per-voxel color field: a CSG target (sphere-minus-
+    box shell) whose fit starts from an inflated sphere."""
     from vrt.core import quat as vq
     from vrt.core.material import Material
     from vrt.render.gpuscene import build_scene
@@ -83,6 +95,7 @@ def build_fit_scene(resolution: int, seed: int = 0):
     env = np.full((6, 8, 8, 3), (0.25, 0.45, 0.85), np.float32)
     light = np.asarray(vq.forward_vector(
         vq.from_euler_degrees(0.0, 45.0, -30.0)))
+    dt = jnp.bfloat16 if march_dtype == "bf16" else None
 
     def scene_for(vol, colors):
         return build_scene(
@@ -92,17 +105,18 @@ def build_fit_scene(resolution: int, seed: int = 0):
                         vq.from_euler_degrees(0.0, 180.0, 0.0))},
             dir_light={"direction": light, "strength": 6.0},
             env=env, voxel_colors=colors,
-            accel_mode="octree", march_dtype=jnp.bfloat16)
+            accel_mode="octree", march_dtype=dt)
 
     return scene_for(target, target_colors), scene_for(start, start_colors)
 
 
-def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0):
+def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0,
+               yaw0: float = 0.0):
     from vrt.core import quat as vq
 
     cams = []
     for i in range(n_views):
-        yaw = 360.0 * i / n_views
+        yaw = yaw0 + 360.0 * i / n_views
         a = np.radians(yaw)
         pos = (dist * np.cos(a), dist * np.sin(a), height)
         pitch = -np.degrees(np.arctan2(height, dist))
@@ -111,17 +125,23 @@ def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0):
     return cams
 
 
-def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3):
-    """Finite-difference check of the fit gradient in the SAME memory-lean
-    configuration (bf16 corner table, deferred wavefront, remat) at a
-    resolution where 2k+1 full losses are affordable.  Returns per-voxel
-    (analytic, fd, rel_err) rows for the k largest-|g| SDF voxels."""
+def holdout_cam():
+    """A view NOT in the training orbit: offset yaw, higher pitch."""
+    return orbit_cams(1, dist=280.0, height=130.0, yaw0=202.5)[0]
+
+
+def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3,
+             march_dtype="bf16", views=2):
+    """Finite-difference check of the fit gradient at ``resolution`` in
+    the given march precision.  Returns per-voxel (analytic, fd, rel_err)
+    rows for the k largest-|g| SDF voxels."""
     from vrt.diff.fit import graft_params, rebuild_accel, render_views
     from vrt.render.gpuscene import RenderMode
 
     mode = RenderMode()
-    target_scene, scene = build_fit_scene(resolution)
-    cams = orbit_cams(2)
+    target_scene, scene = build_fit_scene(resolution,
+                                          march_dtype=march_dtype)
+    cams = orbit_cams(views)
     targets = jax.jit(lambda s: render_views(s, cams, size, size, mode,
                                              chunk_size=chunk))(target_scene)
 
@@ -151,54 +171,134 @@ def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--views", type=int, default=4)
-    ap.add_argument("--resolution", type=int, default=8)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--stages", nargs="*", default=["6:80", "7:80", "8:140"],
+                    help="resolution:steps per stage")
     ap.add_argument("--chunk", type=int, default=16384)
-    ap.add_argument("--lr", type=float, default=8e-2)
+    ap.add_argument("--lr-sdf", type=float, default=0.5,
+                    help="peak adam lr for SDF at the first stage; "
+                         "halves per stage")
+    ap.add_argument("--lr-col", type=float, default=0.05)
+    ap.add_argument("--skip-fd", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "FIT_257.json"))
     args = ap.parse_args()
 
     import optax
 
-    from vrt.diff.fit import make_fit_step, render_views
+    from vrt.diff.fit import (graft_params, make_fit_step_view, psnr,
+                              rebuild_accel, render_views, upsample_params)
+    from vrt.io.image import write_png
     from vrt.render.gpuscene import RenderMode
 
     mode = RenderMode()
-    target_scene, scene = build_fit_scene(args.resolution)
-    n = int(target_scene.volumes.n[0])
-    cams = orbit_cams(args.views)
+    stages = [tuple(int(x) for x in s.split(":")) for s in args.stages]
+    final_res = stages[-1][0]
     w = h = args.size
+    cams = orbit_cams(args.views)
+    hcam = holdout_cam()
 
+    # ---- targets: rendered ONCE from the full-resolution target scene ----
     t0 = time.perf_counter()
-    targets = jax.jit(
-        lambda s: render_views(s, cams, w, h, mode, chunk_size=args.chunk)
-    )(target_scene)
-    targets = jax.block_until_ready(targets)
+    target_scene, _ = build_fit_scene(final_res)
+    n_final = int(target_scene.volumes.n[0])
+    render_all = jax.jit(lambda s: render_views(
+        s, cams + [hcam], w, h, mode, chunk_size=args.chunk))
+    targets_all = jax.block_until_ready(render_all(target_scene))
+    targets, target_hold = targets_all[:-1], targets_all[-1]
     t_targets = time.perf_counter() - t0
-    print(f"rendered {args.views} target views {w}x{h} at {n}^3: "
+    print(f"rendered {args.views}+1 target views {w}x{h} at {n_final}^3: "
           f"{t_targets:.1f}s (incl. compile)", flush=True)
 
-    params = {"sdf": scene.volumes.sdf, "voxel_colors": scene.voxel_colors}
-    # cosine-decayed adam: the plateau after the first ~15 steps is
-    # noise-dominated (each voxel sees few rays per view); decaying the
-    # step keeps the curve descending instead of oscillating
-    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps, 0.1))
-    state = opt.init(params)
-    step = make_fit_step(scene, cams, w, h, mode, opt,
-                         chunk_size=args.chunk)
+    render_hold = None  # built lazily at final res
 
-    losses, times = [], []
-    for i in range(args.steps):
-        t0 = time.perf_counter()
-        params, state, loss = step(params, state, targets)
-        loss = float(loss)
-        dt = time.perf_counter() - t0
-        losses.append(loss)
-        times.append(dt)
-        print(f"step {i}: loss {loss:.6f}  {dt:.1f}s", flush=True)
-        assert np.isfinite(loss), loss
+    def eval_holdout(scene, params):
+        s = rebuild_accel(graft_params(scene, params))
+        img = jax.jit(lambda s: render_views(
+            s, [hcam], w, h, mode, chunk_size=args.chunk))(s)[0]
+        return img, float(psnr(img, target_hold))
+
+    # ---- staged fit ------------------------------------------------------
+    params = None
+    stage_reports = []
+    psnr_start = None
+    total_steps = 0
+    t_fit0 = time.perf_counter()
+    for si, (res, steps) in enumerate(stages):
+        _, scene = build_fit_scene(res)
+        n = int(scene.volumes.n[0])
+        if params is None:
+            params = {"sdf": scene.volumes.sdf,
+                      "voxel_colors": scene.voxel_colors}
+            _, p0 = eval_holdout(scene, params)
+            psnr_start = p0
+            print(f"start PSNR (held-out): {p0:.2f} dB", flush=True)
+        else:
+            params = upsample_params(params)
+            assert params["sdf"].shape[1] == n, (params["sdf"].shape, n)
+
+        lr_sdf = args.lr_sdf * (0.5 ** si)
+        opt = optax.multi_transform(
+            {"sdf": optax.adam(optax.cosine_decay_schedule(
+                lr_sdf, steps * 1, 0.1)),
+             "col": optax.adam(optax.cosine_decay_schedule(
+                 args.lr_col, steps * 1, 0.1))},
+            {"sdf": "sdf", "voxel_colors": "col"})
+        state = opt.init(params)
+        step = make_fit_step_view(scene, w, h, mode, opt,
+                                  chunk_size=args.chunk)
+
+        losses, times = [], []
+        for i in range(steps):
+            cam = cams[i % args.views]
+            ts = time.perf_counter()
+            params, state, loss = step(
+                params, state,
+                jnp.asarray(cam["position"], jnp.float32),
+                jnp.asarray(cam["rotation"], jnp.float32),
+                jnp.asarray(cam["fov"], jnp.float32),
+                targets[i % args.views])
+            loss = float(loss)
+            dt = time.perf_counter() - ts
+            losses.append(loss)
+            times.append(dt)
+            assert np.isfinite(loss), loss
+            if i % 10 == 0 or i == steps - 1:
+                print(f"stage {res} ({n}^3) step {i}: loss {loss:.6f} "
+                      f"{dt:.2f}s", flush=True)
+        total_steps += steps
+        # epoch means: average over full view cycles so the curve metric
+        # isn't dominated by per-view difficulty differences
+        epochs = [float(np.mean(losses[e:e + args.views]))
+                  for e in range(0, len(losses) - args.views + 1,
+                                 args.views)]
+        _, p_hold = eval_holdout(scene, params)
+        steady = sorted(times[1:])[:max(1, (len(times) - 1) // 2)]
+        stage_reports.append(dict(
+            resolution=res, grid=f"{n}^3", steps=steps,
+            losses=[round(l, 6) for l in losses],
+            epoch_means=[round(l, 6) for l in epochs],
+            steady_step_s=round(float(np.mean(steady)), 3),
+            psnr_holdout=round(p_hold, 2),
+            descending=bool(epochs[-1] < epochs[0])))
+        print(f"stage {res} done: epoch-mean {epochs[0]:.6f} -> "
+              f"{epochs[-1]:.6f}, held-out PSNR {p_hold:.2f} dB",
+              flush=True)
+
+    t_fit = time.perf_counter() - t_fit0
+
+    # ---- final evidence --------------------------------------------------
+    _, final_scene = build_fit_scene(final_res)
+    img_fit, psnr_hold = eval_holdout(final_scene, params)
+    img_fit = np.asarray(img_fit).reshape(h, w, 3)
+    img_tgt = np.asarray(target_hold).reshape(h, w, 3)
+    os.makedirs(os.path.join(REPO, "assets"), exist_ok=True)
+    write_png(os.path.join(REPO, "assets", "fit257_fitted.png"),
+              (np.clip(img_fit, 0, 1) * 255).astype(np.uint8))
+    write_png(os.path.join(REPO, "assets", "fit257_target.png"),
+              (np.clip(img_tgt, 0, 1) * 255).astype(np.uint8))
+    print(f"held-out PSNR: start {psnr_start:.2f} -> fitted "
+          f"{psnr_hold:.2f} dB; images in assets/", flush=True)
 
     mem = {}
     try:
@@ -208,37 +308,49 @@ def main():
     except Exception as e:  # noqa: BLE001
         mem = {"unavailable": repr(e)}
 
-    print("FD grad probe (res 5, same bf16/deferred/remat config)...",
-          flush=True)
-    fd_rows = fd_probe()
-    for r in fd_rows:
-        print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
-              f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}", flush=True)
+    fd_rows_bf16 = fd_rows_f32_full = None
+    if not args.skip_fd:
+        print("FD grad probe (res 5, bf16 fit config)...", flush=True)
+        fd_rows_bf16 = fd_probe()
+        for r in fd_rows_bf16:
+            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
+                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
+                  flush=True)
+        print(f"FD grad probe (res {final_res} = {n_final}^3, f32)...",
+              flush=True)
+        fd_rows_f32_full = fd_probe(resolution=final_res, size=128,
+                                    chunk=args.chunk, eps=0.2, k=3,
+                                    march_dtype="f32")
+        for r in fd_rows_f32_full:
+            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
+                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
+                  flush=True)
 
-    steady = sorted(times[1:])[:max(1, (len(times) - 1) // 2)]
-    rays = args.views * w * h
+    last = stage_reports[-1]
+    rays = w * h
     report = {
-        "resolution": args.resolution, "grid": f"{n}^3",
-        "views": args.views, "image": f"{w}x{h}",
-        "rays_per_step": rays,
+        "design": "coarse-to-fine 65^3->129^3->257^3, 1 stochastic "
+                  "view/step (8 orbit views), per-param adam lr",
+        "image": f"{w}x{h}", "views": args.views,
         "march_dtype": "bfloat16",
-        "corner_table_mb": round((n - 1) ** 3 * 8 * 2 / 1e6, 1),
-        "steps": args.steps,
-        "losses": [round(l, 6) for l in losses],
-        "step_seconds": [round(t, 2) for t in times],
-        "steady_step_s": round(float(np.mean(steady)), 2),
-        "rays_per_s_fwd_bwd": round(rays / float(np.mean(steady)), 0),
+        "total_steps": total_steps,
+        "fit_wall_s": round(t_fit, 1),
+        "stages": stage_reports,
+        "final_steady_step_s": last["steady_step_s"],
+        "rays_per_s_fwd_bwd": round(rays / last["steady_step_s"], 0),
+        "psnr_holdout_start": round(psnr_start, 2),
+        "psnr_holdout_fitted": round(psnr_hold, 2),
         "target_render_s": round(t_targets, 1),
-        "fd_grad_probe_res5": fd_rows,
+        "fd_grad_probe_res5_bf16": fd_rows_bf16,
+        "fd_grad_probe_full_f32": fd_rows_f32_full,
         "device_memory": mem,
-        "loss_drop_pct": round(100.0 * (1.0 - losses[-1] / losses[0]), 1),
-        "descending": all(b <= a + 1e-5 for a, b in
-                          zip(losses, losses[1:])),
+        "descending": all(s["descending"] for s in stage_reports),
+        "images": ["assets/fit257_target.png", "assets/fit257_fitted.png"],
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items()
-                      if k not in ("losses", "step_seconds")}), flush=True)
+                      if k not in ("stages",)}), flush=True)
     os._exit(0)
 
 

@@ -468,3 +468,18 @@ class TestIncrementalSync:
         vol.set_voxel((8, 8, 8), -3.0)
         gpu3 = scene.sync_gpu(gpu2)
         assert gpu3.volumes.sdf is not gpu2.volumes.sdf
+
+
+class TestEmptyScene:
+    def test_render_with_zero_instances(self):
+        """An Engine frame rendered before any object is spawned must
+        produce the pure-env image, not crash on an empty candidate list
+        (ADVICE r4)."""
+        vol = VoxelVolume.from_generator(S.Sphere(radius=50.0), 3, 100.0)
+        env = np.full((6, 2, 2, 3), (0.25, 0.45, 0.85), np.float32)
+        scene = build_scene([vol], [], camera={"position": (300.0, 0, 0)},
+                            env=env)
+        img = np.asarray(render_image(scene, 16, 12, RenderMode()))
+        assert np.isfinite(img).all()
+        # every pixel is the tonemapped env color
+        assert np.allclose(img[..., :3], img[0, 0, :3], atol=1e-6)

@@ -19,6 +19,7 @@ from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from vrt.render.camera import camera_rays
@@ -157,6 +158,81 @@ def make_fit_step(scene: GPUScene, cams: Sequence[Dict], width: int,
         return params, opt_state, loss
 
     return step
+
+
+def make_fit_step_view(scene: GPUScene, width: int, height: int,
+                       mode: RenderMode, optimizer,
+                       chunk_size: int | None = None):
+    """Single-view-per-step fit factory with a TRACED camera.
+
+    step(params, opt_state, cam_pos[3], cam_rot[4], cam_fov[], target[H*W,3])
+    -> (params, opt_state, loss)
+
+    Cycling through orbit views costs ONE compile total (the camera is a
+    step argument, not a closure constant); stochastic view sampling lifts
+    per-voxel ray coverage across steps without widening any single step —
+    the convergence fix for large grids where one step's rays cover a small
+    fraction of the surface (257^3: ~1M rays/step vs 17M voxels).
+    """
+
+    @jax.jit
+    def step(params, opt_state, cam_pos, cam_rot, cam_fov, target):
+        def loss_fn(p):
+            s = rebuild_accel(graft_params(scene, p))
+            cam = [dict(position=cam_pos, rotation=cam_rot, fov=cam_fov)]
+            imgs = render_views(s, cam, width, height, mode,
+                                chunk_size=chunk_size)
+            return jnp.mean((imgs[0] - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def upsample_params(params: Dict) -> Dict:
+    """Coarse-to-fine stage transfer: linearly upsample grid-shaped fit
+    parameters from an n = 2^r + 1 grid to 2^(r+1) + 1 (new even planes copy
+    the coarse grid, odd planes average neighbors — exact trilinear
+    refinement).  SDF *values* are world-space distances, so they transfer
+    unscaled; per-voxel colors likewise.  Non-grid parameters pass through.
+    """
+    def up_axis(x, ax):
+        n = x.shape[ax]
+        sl = [slice(None)] * x.ndim
+        sl_lo, sl_hi = list(sl), list(sl)
+        sl_lo[ax] = slice(0, n - 1)
+        sl_hi[ax] = slice(1, n)
+        mid = 0.5 * (x[tuple(sl_lo)] + x[tuple(sl_hi)])
+        out_shape = list(x.shape)
+        out_shape[ax] = 2 * n - 1
+        out = np.zeros(out_shape, x.dtype)
+        sl_even, sl_odd = list(sl), list(sl)
+        sl_even[ax] = slice(0, 2 * n - 1, 2)
+        sl_odd[ax] = slice(1, 2 * n - 1, 2)
+        out[tuple(sl_even)] = x
+        out[tuple(sl_odd)] = mid
+        return out
+
+    out = {}
+    for k, v in params.items():
+        if k in ("sdf", "voxel_colors"):
+            a = np.asarray(v)
+            for ax in (1, 2, 3):
+                a = up_axis(a, ax)
+            out[k] = jnp.asarray(a)
+        else:
+            out[k] = v
+    return out
+
+
+def psnr(img, ref) -> jnp.ndarray:
+    """Peak signal-to-noise ratio between tonemapped [.,3] images in
+    [0,1] (fit-quality evidence metric)."""
+    mse = jnp.mean((img - ref) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
 def fit(scene: GPUScene, params: Dict, cams: Sequence[Dict], targets,

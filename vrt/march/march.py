@@ -613,8 +613,10 @@ def _i32(f):
     return jax.lax.bitcast_convert_type(f, jnp.int32) & (_NORMAL_BIT - 1)
 
 
-# meta column bit layout (ray matrix col 7)
-_ORDER_BITS = 23          # supports frames up to 8.3M lanes
+# meta column bit layout (ray matrix col 7): order | vol(5b) | ok(1b) =
+# 30 bits, exactly the payload width _f32 can carry (bit 30 is the forced
+# normal-exponent bit).
+_ORDER_BITS = 24          # 16.7M lanes: 4K frames (8.3M) plus chunk padding
 _VOL_SHIFT = _ORDER_BITS  # 5 bits of volume id
 _OK_SHIFT = _ORDER_BITS + 5
 
@@ -700,6 +702,16 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
     assert sum(schedule) == MAX_ITERATIONS, schedule
     total = o.shape[0]
     assert total < (1 << _ORDER_BITS), total
+    # Packed-carry capacity guards (the bit layout of _pack_rays /
+    # _pack_state): 5-bit volume ids, 10-bit cell coordinates with bias +2
+    # (carried cells stray at most one cell outside the grid).  Violations
+    # would corrupt lanes silently, so fail at trace time instead.
+    assert vols.sdf.shape[0] <= 32, (
+        f"compact march carries 5-bit volume ids; got {vols.sdf.shape[0]} "
+        "stacked volumes")
+    assert vols.sdf.shape[1] <= 1022, (
+        f"compact march packs cells into 10 bits/axis (bias +2); grid axis "
+        f"{vols.sdf.shape[1]} exceeds 1022 voxels")
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)

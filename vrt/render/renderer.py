@@ -108,6 +108,13 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
     lane_marcher = lane_marcher or march_lanes
 
     n_inst = scene.num_instances
+    if n_inst == 0:
+        # Empty scene (e.g. an Engine frame before any object is added):
+        # all-miss, zero accounted steps — the vectorized path below would
+        # stack an empty candidate list.
+        hit = dataclasses.replace(MarchHit.none_like(o_w),
+                                  steps=jnp.zeros(o_w.shape[0], jnp.int32))
+        return hit, jnp.full(o_w.shape[0], -1, jnp.int32)
 
     # Per-instance object-space rays + slab tests, all ELEMENTWISE (a
     # static unroll over <= 20 instances).  The per-pass candidate pick
@@ -174,6 +181,19 @@ def march_scene(scene: GPUScene, o_w, d_w, t_max, interp: bool,
 
 def _per_ray_instance(scene: GPUScene, inst):
     """Gather per-ray instance transform + volume data (inst i32 [R])."""
+    if scene.num_instances == 0:
+        # no instances to gather from: every lane is a miss (inst == -1)
+        # and shading discards these values — identity transform, volume 0
+        vol_id = jnp.zeros_like(inst)
+        zf3 = jnp.zeros(inst.shape + (3,), jnp.float32)
+        return dict(
+            vol=vol_id, pos=zf3,
+            rot=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                                 inst.shape + (4,)),
+            scale=zf3 + 1.0,
+            n=scene.volumes.n[vol_id],
+            cell_size=scene.volumes.cell_size[vol_id],
+            extends=scene.volumes.extends[vol_id])
     ic = jnp.maximum(inst, 0)
     vol_id = scene.inst_volume[ic]
     return dict(
