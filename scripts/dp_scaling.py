@@ -43,17 +43,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _per_shard_steps(mesh, scene, o, d):
+def _per_shard_steps(mesh, scene, o, d, interleave):
     """Per-shard primary-march step totals under the ray sharding."""
+    import math
     from functools import partial
 
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from vrt.dist.sharding import _ray_spec
+    from vrt.dist.sharding import _interleave_perm, _ray_spec
     from vrt.render.renderer import RADIANCE_TMAX, march_scene
 
     spec = _ray_spec(mesh)
+    if interleave:
+        perm, _ = _interleave_perm(o.shape[0],
+                                   math.prod(mesh.devices.shape))
+        o, d = o[perm], d[perm]
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), spec, spec),
@@ -119,10 +124,10 @@ def main():
         loss = float(loss)
         dt_fit = (time.perf_counter() - t0) / args.steps
 
-        steps_per_shard = _per_shard_steps(mesh, scene, o, d)
+        steps_blocked = _per_shard_steps(mesh, scene, o, d, False)
+        steps_rr = _per_shard_steps(mesh, scene, o, d, True)
         if t1_render is None:
             t1_render, t1_fit = dt_render, dt_fit
-        mean_steps = float(np.mean(steps_per_shard))
         row = {
             "data_shards": s_count,
             "render_s": round(dt_render, 4),
@@ -131,9 +136,12 @@ def main():
             "efficiency_render": round(t1_render / (s_count * dt_render), 3),
             "efficiency_work_render": round(t1_render / dt_render, 3),
             "efficiency_work_fit": round(t1_fit / dt_fit, 3),
-            "march_steps_per_shard": steps_per_shard,
-            "step_imbalance_max_over_mean": round(
-                max(steps_per_shard) / max(mean_steps, 1.0), 3),
+            "march_steps_per_shard": steps_rr,
+            "imbalance_blocked": round(
+                max(steps_blocked) / max(float(np.mean(steps_blocked)),
+                                         1.0), 3),
+            "imbalance_interleaved": round(
+                max(steps_rr) / max(float(np.mean(steps_rr)), 1.0), 3),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -151,8 +159,8 @@ def main():
         "efficiency_render": rows[-1]["efficiency_render"],
         "efficiency_work_render": rows[-1]["efficiency_work_render"],
         "efficiency_work_fit": rows[-1]["efficiency_work_fit"],
-        "step_imbalance_max_over_mean":
-            rows[-1]["step_imbalance_max_over_mean"],
+        "imbalance_blocked": rows[-1]["imbalance_blocked"],
+        "imbalance_interleaved": rows[-1]["imbalance_interleaved"],
         "oversubscribed": oversub, "host_cores": cores,
         "note": "virtual 8-device CPU mesh; wall clock is "
                 "oversubscription-bound like SCALING.json — "

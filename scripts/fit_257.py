@@ -43,6 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # the axon sitecustomize pins the TPU platform at interpreter start;
+    # the explicit update wins pre-initialization (CI/smoke runs)
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -119,7 +123,9 @@ def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0,
         yaw = yaw0 + 360.0 * i / n_views
         a = np.radians(yaw)
         pos = (dist * np.cos(a), dist * np.sin(a), height)
-        pitch = -np.degrees(np.arctan2(height, dist))
+        # POSITIVE pitch looks down in the reference Euler convention
+        # (FromAxisAngle(RIGHT, pitch); verified numerically)
+        pitch = np.degrees(np.arctan2(height, dist))
         rot = np.asarray(vq.from_euler_degrees(0.0, 180.0 + yaw, pitch))
         cams.append(dict(position=pos, rotation=rot, fov=60.0))
     return cams

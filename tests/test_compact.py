@@ -45,13 +45,15 @@ def _rays(L=1024, seed=7):
 
 
 class TestCompactLaneMarch:
-    @pytest.mark.parametrize("interp", [True, False])
-    def test_matches_plain_march(self, interp):
+    @pytest.mark.parametrize("interp,block", [(True, None), (False, None),
+                                              (True, 32), (False, 64)])
+    def test_matches_plain_march(self, interp, block):
         vols = _stacked_vols()
         o, d, vol_ids, t_max = _rays()
         h0 = march_lanes(vols, vol_ids, o, d, t_max, interp=interp)
         h1 = march_lanes_compact(vols, vol_ids, o, d, t_max, interp=interp,
-                                 chunk=128, schedule=(4, 12, 239))
+                                 chunk=128, schedule=(4, 12, 239),
+                                 block=block)
         for f in ("hit", "kind", "cell", "steps"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(h0, f)), np.asarray(getattr(h1, f)),

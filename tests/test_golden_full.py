@@ -219,3 +219,45 @@ class TestGoldenTextured:
         else:
             _assert_cube_lit(got, np_scene, w, h, cam_pos, cam_rot,
                              textured=True)
+
+
+class TestGoldenBenchedConfig:
+    """The BENCHED pipeline configuration against the oracle (VERDICT r4
+    item 6): Chebyshev accel + bf16 fast-march corner table + the
+    deferred-wavefront frame with mid-march compaction — the exact shape
+    of the flagship bench rows (vrt/apps/bench.py) — must stay golden,
+    not just the octree/f32/plain path the other tests cover.
+
+    Tolerances are wider than the f32 tests: the bf16 corner table
+    quantizes densities (comparable to the reference's 15-bit fixed-point
+    volume encoding), shifting isosurface roots sub-cell.
+    """
+
+    def test_benched_flagship_config_64(self):
+        import jax.numpy as jnp
+
+        (sphere, slab, instances, cam_pos, cam_rot, light_dir, point, spot,
+         env) = _scene_pair()
+        scene = build_scene(
+            [sphere, slab], instances,
+            camera=dict(position=cam_pos, rotation=cam_rot, fov=60.0),
+            dir_light=dict(direction=light_dir, strength=5.0),
+            point_lights=[point], spot_lights=[spot], env=env,
+            accel_mode="chebyshev", march_dtype=jnp.bfloat16)
+        np_scene = _np_scene(sphere, slab, instances, light_dir, point,
+                             spot, env)
+        w = h = 64
+        got = np.asarray(render_image(scene, w, h, RenderMode(),
+                                      chunk_size=256, sort_rays=True,
+                                      compact=True))[..., :3]
+        assert np.isfinite(got).all()
+        want = ref.render_scene_np(np_scene, w, h, cam_pos, cam_rot, 60.0,
+                                   interp=True, lit=True, textured=False)
+        # bf16 quantization moves silhouette/shadow pixels; the stable
+        # interior must match closely and gross outliers stay rare
+        diff = np.abs(got - want)
+        assert np.quantile(diff, 0.90) < 0.015, float(
+            np.quantile(diff, 0.90))
+        assert diff.mean() < 0.01, float(diff.mean())
+        assert (diff.max(axis=-1) > 0.1).mean() < 0.03, float(
+            (diff.max(axis=-1) > 0.1).mean())

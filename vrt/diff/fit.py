@@ -60,6 +60,17 @@ def graft_params(scene: GPUScene, params: Dict) -> GPUScene:
               if k not in ("sdf",) and hasattr(scene, k)}
     if direct:
         scene = dataclasses.replace(scene, **direct)
+    if "voxel_colors" in params and scene.voxel_color_corners is not None:
+        # keep the corner-packed view in sync, differentiably: gradients
+        # reach the color grid through the packing slices (one row
+        # gather/scatter per hit cell instead of 8 — see
+        # gpuscene.pack_voxel_color_corners)
+        from vrt.render.gpuscene import pack_voxel_color_corners
+
+        scene = dataclasses.replace(
+            scene, voxel_color_corners=pack_voxel_color_corners(
+                params["voxel_colors"],
+                dtype=scene.voxel_color_corners.dtype))
     return scene
 
 
@@ -125,7 +136,8 @@ def render_views(scene: GPUScene, cams: Sequence[Dict], width: int,
                 cam_fov=jnp.asarray(cam.get("fov", 60.0), jnp.float32))
             img = render_image(s, width, height, mode,
                                chunk_size=chunk_size, sort_rays=True,
-                               remat=True)
+                               remat=True,
+                               compact=width * height >= 262144)
             imgs.append(img[..., :3].reshape(-1, 3))
         else:
             o, d = camera_rays(jnp.asarray(cam["position"]),

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
+from vrt.march import isosurface as _iso
 from vrt.render.camera import camera_rays
 from vrt.render.gpuscene import GPUScene, RenderMode
 from vrt.render.renderer import tonemap, trace_radiance
@@ -43,16 +44,33 @@ def _pad_rays(total: int, n_shards: int, *arrays):
     return (*out, pad)
 
 
+def _interleave_perm(padded: int, n_shards: int):
+    """Strided ray->shard assignment: lane i goes to shard i % S, so every
+    shard samples the whole image instead of a contiguous raster block.
+    Blocked assignment concentrates sky rays on some shards and surface
+    rays on others (measured max/mean march-step imbalance 1.96 at S=8,
+    DPSCALING.json); round-robin flattens it to ~1.  Returns (perm,
+    inv_perm) — both transpose permutations."""
+    perm = jnp.arange(padded).reshape(-1, n_shards).T.reshape(-1)
+    inv = jnp.arange(padded).reshape(n_shards, -1).T.reshape(-1)
+    return perm, inv
+
+
 def render_image_sharded(scene: GPUScene, width: int, height: int,
-                         mode: RenderMode, mesh) -> jax.Array:
+                         mode: RenderMode, mesh,
+                         interleave: bool = True) -> jax.Array:
     """``render_image`` with rays sharded over the mesh.  [H,W,4] f32,
     bit-matching the single-device render (each lane's march is
-    shard-local; only the ray batch is partitioned)."""
+    shard-local; only the ray batch is partitioned — round-robin over
+    shards by default, see ``_interleave_perm``)."""
     o, d = camera_rays(scene.cam_pos, scene.cam_rot, scene.cam_fov,
                        width, height)
     total = width * height
     n_shards = math.prod(mesh.devices.shape)
     o, d, _pad = _pad_rays(total, n_shards, o, d)
+    if interleave:
+        perm, inv = _interleave_perm(o.shape[0], n_shards)
+        o, d = o[perm], d[perm]
     spec = _ray_spec(mesh)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), spec, spec),
@@ -60,19 +78,24 @@ def render_image_sharded(scene: GPUScene, width: int, height: int,
     def run(scene, o, d):
         return tonemap(trace_radiance(scene, o, d, 0, mode))
 
-    rgb = jax.jit(run)(scene, o, d)[:total]
-    img = rgb.reshape(height, width, 3)
+    rgb = jax.jit(run)(scene, o, d)
+    if interleave:
+        rgb = rgb[inv]
+    img = rgb[:total].reshape(height, width, 3)
     return jnp.concatenate(
         [img, jnp.ones((height, width, 1), jnp.float32)], axis=-1)
 
 
-def make_loss_and_grad_dp(mode: RenderMode, mesh, reduce: str = "sum"):
+def make_loss_and_grad_dp(mode: RenderMode, mesh, reduce: str = "sum",
+                          interleave: bool = True):
     """Data-parallel pixel loss + gradient.
 
     Returns ``loss_and_grad(params, scene, o, d, targets) -> (loss, grads)``
-    where rays/targets are sharded over the mesh, ``params`` / ``scene``
-    are replicated, and both outputs are psum'd across every axis — equal
-    to the single-device ``jax.value_and_grad`` of the same summed loss.
+    where rays/targets are sharded over the mesh (round-robin by default —
+    see ``_interleave_perm``; the loss is permutation-invariant so no
+    inverse is needed), ``params`` / ``scene`` are replicated, and both
+    outputs are psum'd across every axis — equal to the single-device
+    ``jax.value_and_grad`` of the same summed loss.
     """
     from vrt.diff.fit import graft_params, rebuild_accel
 
@@ -85,6 +108,9 @@ def make_loss_and_grad_dp(mode: RenderMode, mesh, reduce: str = "sum"):
         total = o.shape[0]
         w = jnp.ones(total, jnp.float32)
         o, d, targets, w, _pad = _pad_rays(total, n_shards, o, d, targets, w)
+        if interleave:
+            perm, _ = _interleave_perm(o.shape[0], n_shards)
+            o, d, targets, w = o[perm], d[perm], targets[perm], w[perm]
         denom = (1.0 if scale == 1.0
                  else float(total) * targets.shape[-1])
 
@@ -104,7 +130,13 @@ def make_loss_and_grad_dp(mode: RenderMode, mesh, reduce: str = "sum"):
                 # psum of the per-shard cotangents).
                 return jax.lax.psum(jnp.sum(err * w[:, None]) / denom, axes)
 
-            return jax.value_and_grad(global_loss)(params)
+            # the segment-sum gather transpose (iso.take_rows) is a
+            # custom_vjp opaque to shard_map's replication inference;
+            # trace this body with the plain gather instead (spec-driven
+            # scatter transpose + boundary psum, grads verified equal to
+            # single-device in tests/test_dist.py)
+            with _iso.plain_gather_transpose():
+                return jax.value_and_grad(global_loss)(params)
 
         return run(params, scene, o, d, targets, w)
 

@@ -37,12 +37,19 @@ class Engine:
                  width: int = 512, height: int = 512,
                  mode: RenderMode = RenderMode(),
                  chunk_size: int | str | None = "auto",
-                 sort_rays: bool = True):
+                 sort_rays: bool = True,
+                 pipelined: bool = True):
         self.instance = instance
         self.scene: Optional[Scene] = None
         self.width = width
         self.height = height
         self.render_mode = mode
+        # pipelined=True overlaps frame N's device->host readback with
+        # frame N+1's dispatch (JAX dispatch is async; only np.asarray
+        # blocks): last_frame lags one frame behind the scene state, like
+        # a depth-2 swapchain.  False restores synchronous readback.
+        self.pipelined = pipelined
+        self._pending = None
         # "auto": sorted chunks sized for >=8 chunks per frame — enables
         # the renderer's dead-chunk skipping for sky regions (big frames
         # only; tiny frames render as one batch)
@@ -99,6 +106,9 @@ class Engine:
             if max_frames is not None and self.frame_count >= max_frames:
                 break
 
+        if self._pending is not None:  # drain the pipelined readback
+            self.last_frame = np.asarray(self._pending)
+            self._pending = None
         self.instance.on_engine_shutdown(self)
         self._running = False
 
@@ -125,5 +135,12 @@ class Engine:
         # R8G8B8A8_UNORM backbuffer, and 4x fewer bytes over the host
         # link — readback measured 0.4 s/frame at 720p for f32).
         img8 = (img * 255.0 + 0.5).astype("uint8")
-        self.last_frame = np.asarray(img8)
+        if self.pipelined:
+            # block on LAST frame's readback while this frame's dispatch
+            # runs asynchronously on device
+            prev, self._pending = self._pending, img8
+            if prev is not None:
+                self.last_frame = np.asarray(prev)
+        else:
+            self.last_frame = np.asarray(img8)
         return self.last_frame

@@ -678,6 +678,7 @@ def _unpack_state(st8):
 def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
                         interp: bool = True, chunk: int = 8192,
                         schedule: tuple = (8, 247),
+                        block: int | None = None,
                         debug_overlay: bool = False) -> MarchHit:
     """``march_lanes`` with mid-march live-lane compaction.
 
@@ -686,18 +687,29 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
     frame that divergence costs 2.4-2.9x the active work (lockstep 9.4 vs
     active 3.3 rows/ray, scripts/probe_steps_hist.py).  This driver marches
     in bounded rounds: before each round, still-live lanes are packed to
-    the front (one stable sort on the activity flag + ONE packed-row
-    gather of the whole carry, ``_permute_packed``), the carry is chunked,
-    and all-dead chunks are skipped by ``lax.cond``.  Round budgets must
-    sum to MAX_ITERATIONS, which makes the result bit-identical to
-    ``march_lanes`` (an always-active lane sees the same 255 iterations;
-    retired lanes' results are frozen in the carry).
+    the front, the carry is chunked, and all-dead chunks are skipped by
+    ``lax.cond``.  Round budgets must sum to MAX_ITERATIONS, which makes
+    the result bit-identical to ``march_lanes`` (an always-active lane sees
+    the same 255 iterations; retired lanes' results are frozen in the
+    carry; packing is a pure lane permutation undone by the order column).
+
+    Packing granularity:
+
+    - ``block=None`` (row mode): stable argsort on the per-lane activity
+      flag + TWO full-width [L,8] row gathers per round — row gathers are
+      the dominant round cost (~18 ms/2M rows each), so schedules stay
+      short ((8, 247) won round 4's sweep at 479 ms).
+    - ``block=B`` (block mode, VERDICT r4 item 3 "compaction without
+      global sorts"): lanes move in contiguous B-lane blocks — dead blocks
+      sort last, live blocks sort by DESCENDING deepest-lane step count so
+      stragglers cluster into the same chunks.  The permute is then a
+      block gather (contiguous 32*B-byte rows ~ memcpy speed, not 32 B
+      row gathers) over an nb-element argsort, making rounds cheap enough
+      for long schedules; the caller's chord sort already clusters
+      same-depth rays so per-block liveness stays coherent.  B must
+      divide ``chunk``.
 
     ``o.shape[0]`` must be a multiple of ``chunk`` (callers pad).
-    Measured on the flagship frame: compaction cuts primary lockstep rows
-    ~1.9x; the (8, 247) schedule won the on-chip sweep (479 ms vs 539 for
-    (4, 12, 239) and 632 for (2, 6, 24, 223), scripts/probe_steps_hist.py
-    + the round-4 sweep).
     """
     assert sum(schedule) == MAX_ITERATIONS, schedule
     total = o.shape[0]
@@ -750,15 +762,37 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
         return (zi[..., None] + jnp.zeros(3, jnp.int32), zf, zi != 0,
                 oc * 0.0, MarchHit.none_like(oc), zi, zf)
 
+    if block is not None:
+        assert chunk % block == 0 and total_padded % block == 0, (
+            chunk, block, total_padded)
+
     st8 = None
     for i, k in enumerate(schedule):
         if i == 0:
-            key = ~_unpack_rays(ray8)[4]
+            live = _unpack_rays(ray8)[4]
         else:
-            key = (_i32(st8[:, 2]) & 1) == 0       # ~active flag
-        perm = jnp.argsort(key, stable=True)
-        ray8 = ray8[perm]
-        st8 = None if st8 is None else st8[perm]
+            live = (_i32(st8[:, 2]) & 1) == 1      # active flag
+        if block is not None:
+            nb = total_padded // block
+            lv = live.reshape(nb, block)
+            blive = jnp.any(lv, axis=1)
+            if i == 0:
+                bdepth = jnp.zeros(nb, jnp.int32)
+            else:
+                steps = (_i32(st8[:, 2]) >> 5) & 255
+                bdepth = jnp.max(jnp.where(lv, steps.reshape(nb, block),
+                                           -1), axis=1)
+            # dead blocks last; live blocks deepest-first (stragglers
+            # cluster into the same chunks)
+            bkey = jnp.where(blive, -bdepth, jnp.iinfo(jnp.int32).max)
+            border = jnp.argsort(bkey, stable=True)
+            ray8 = ray8.reshape(nb, block, 8)[border].reshape(-1, 8)
+            if st8 is not None:
+                st8 = st8.reshape(nb, block, 8)[border].reshape(-1, 8)
+        else:
+            perm = jnp.argsort(~live, stable=True)
+            ray8 = ray8[perm]
+            st8 = None if st8 is None else st8[perm]
 
         def run_chunk(s, k=k, first=(i == 0)):
             r8 = s[0]
@@ -836,7 +870,8 @@ def march_lanes_chunked(vols: DeviceVolume, vol_ids, o, d, t_max,
 
 
 def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
-                         schedule: tuple = (8, 247)):
+                         schedule: tuple = (8, 247),
+                         block: int | None = None):
     """Lane-marcher factory for ``march_scene``'s sequential candidate
     passes: the FIRST pass (which carries nearly all march work) gets
     mid-march compaction over WIDE chunks (``march_chunk`` — the in-loop
@@ -855,7 +890,7 @@ def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
         if j == 0:
             return march_lanes_compact(vols, vol_ids, o, d, t_max,
                                        interp=interp, chunk=march_chunk,
-                                       schedule=schedule,
+                                       schedule=schedule, block=block,
                                        debug_overlay=debug_overlay)
         return march_lanes_chunked(vols, vol_ids, o, d, t_max,
                                    interp=interp, chunk=chunk,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vrt.march import isosurface as iso
 from vrt.march.march import _inv_dir
@@ -66,12 +67,22 @@ def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit,
     cell_base = cell.astype(jnp.float32) * h[..., None] - ext[..., None]
 
     # ---- surface hits: IFT-corrected root + central-difference normal ----
+    # All 7 cells the surface terms read (the hit cell + its 6 central-
+    # difference neighbors) fetch in ONE batched gather: the backward then
+    # pays one segment-summed cotangent accumulation instead of 7 separate
+    # scatter-adds into the corner table (the dominant backward cost at
+    # 1080p — see BENCH.md backward phase table).
+    offs7 = np.concatenate([np.zeros((1, 3), np.int32),
+                            iso.NEIGHBOR_OFFSETS])
+    rows7 = cfetch(cell[:, None, :] + offs7)                   # [R,7,8]
+    v_c = rows7[:, 0]
+
     t0 = jax.lax.stop_gradient(hit.t)
     t0_safe = jnp.where(jnp.isfinite(t0), t0, 0.0)
 
     def field(t):
         p = (o + d * t[..., None] - cell_base) / h[..., None]
-        return iso.trilinear_density(cfetch, cell, p)
+        return iso.trilinear_rows(v_c, p)
 
     f0, fp = jax.jvp(field, (t0_safe,), (jnp.ones_like(t0_safe),))
     fp_s = jax.lax.stop_gradient(fp)
@@ -80,7 +91,7 @@ def resolve_hits(fetch, cell_size, extends, o, d, hit: MarchHit,
     t_surface = t0_safe - jnp.where(safe, corr, 0.0)
 
     p_hit = (o + d * t_surface[..., None] - cell_base) / h[..., None]
-    n_surface = iso.central_difference_normal(cfetch, cell, p_hit)
+    n_surface = iso.central_difference_normal_rows(rows7[:, 1:], p_hit)
 
     # ---- solid-entry hits: differentiable biased slab entry --------------
     t_solid = _slab_enter(o, d, ext[..., None]) + 0.01

@@ -234,15 +234,26 @@ def _voxel_color_sample(scene: GPUScene, pr, hit: MarchHit, o_w, d_w, t):
     cell = hit.cell
     cell_base = cell.astype(jnp.float32) * h[..., None] - pr["extends"][..., None]
     p = (o + d * t[..., None] - cell_base) / h[..., None]
-    colors = scene.voxel_colors
-    v_count, nn = colors.shape[0], colors.shape[1]
-    flat = colors.reshape(-1, 3)
     idx = cell[:, None, :] + iso.CORNERS[None, :, :]           # [R,8,3]
     valid = jnp.all((idx >= 0) & (idx < pr["n"][:, None, None]), axis=-1)
-    ic = jnp.clip(idx, 0, nn - 1)
-    lin = (pr["vol"][:, None] * (nn * nn * nn) + ic[..., 0] * (nn * nn)
-           + ic[..., 1] * nn + ic[..., 2])
-    cvals = jnp.where(valid[..., None], flat[lin], 0.0)        # [R,8,3]
+    pcc = scene.voxel_color_corners
+    if pcc is not None:
+        # corner-packed colors: ONE 24-float row gather per hit cell (and
+        # one row scatter in the backward) instead of 8 voxel gathers
+        cn = pcc.shape[1]
+        ic = jnp.clip(cell, 0, cn - 1)
+        lin = (pr["vol"] * (cn * cn * cn)
+               + (ic[..., 0] * cn + ic[..., 1]) * cn + ic[..., 2])
+        rows = pcc.reshape(-1, 24)[lin].reshape(-1, 8, 3)
+        cvals = jnp.where(valid[..., None], rows.astype(jnp.float32), 0.0)
+    else:
+        colors = scene.voxel_colors
+        nn = colors.shape[1]
+        flat = colors.reshape(-1, 3)
+        ic = jnp.clip(idx, 0, nn - 1)
+        lin = (pr["vol"][:, None] * (nn * nn * nn) + ic[..., 0] * (nn * nn)
+               + ic[..., 1] * nn + ic[..., 2])
+        cvals = jnp.where(valid[..., None], flat[lin], 0.0)
     w = jnp.abs((1.0 - iso.CORNERS)[None, :, :] - p[:, None, :])
     w = jnp.prod(w, axis=-1)                                   # [R,8]
     return jnp.sum(w[..., None] * cvals, axis=1)
