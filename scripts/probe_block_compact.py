@@ -55,6 +55,11 @@ def main():
     perm = jnp.argsort(key, stable=True)
     o, d = o[perm], d[perm]
     t_max = jnp.full(o.shape[0], RADIANCE_TMAX)
+    # pad to the chunk lcm like render_image does (dead pad lanes)
+    pad = (-o.shape[0]) % 65536
+    o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+    d = jnp.concatenate([d, jnp.ones((pad, 3))])
+    t_max = jnp.concatenate([t_max, jnp.full(pad, -jnp.inf)])
 
     @partial(jax.jit, static_argnames=("mk_args",))
     def march_only(o, d, t_max, mk_args=None):
