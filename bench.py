@@ -73,10 +73,19 @@ def child():
         return render_image(scene, WIDTH, HEIGHT, mode, chunk_size=CHUNK,
                             sort_rays=True, compact=True)
 
+    import dataclasses
+
+    def jittered(i):
+        # every timed dispatch must be UNIQUE: the axon tunnel memoizes
+        # identical executions (observed serving repeat frames in 0.3 ms);
+        # a 1e-6-degree fov jitter changes nothing measurable but defeats
+        # the cache.  Values stay traced (no recompile).
+        return dataclasses.replace(scene, cam_fov=scene.cam_fov + i * 1e-6)
+
     # warmup + compile.  Under the axon runtime block_until_ready can return
     # before execution completes; the scalar readback is the queue drain.
     t0 = time.perf_counter()
-    out = render(scene)
+    out = render(jittered(0))
     checksum = float(jnp.sum(out))
     print(f"# warmup {time.perf_counter() - t0:.1f}s checksum {checksum:.1f}",
           file=sys.stderr, flush=True)
@@ -84,9 +93,8 @@ def child():
 
     iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(scene)
-    _ = float(jnp.sum(out))
+    outs = [render(jittered(i + 1)) for i in range(iters)]
+    _ = float(jnp.sum(outs[-1]))  # device executes in order: drains all
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = WIDTH * HEIGHT / dt

@@ -34,12 +34,22 @@ def _sync(x):
 
 
 def _time(fn, iters=3):
-    out = fn()
-    _sync(out)  # warmup / compile
+    """Time ``fn(i)`` (or ``fn()``) over iters calls.
+
+    Two axon-runtime defenses: (a) timings synchronize through a scalar
+    readback per iteration (block_until_ready can return early), and
+    (b) ``fn`` SHOULD vary its dispatch with the iteration index — the
+    tunnel memoizes identical executions (observed: repeat frames served
+    in 0.3 ms), so render benches jitter the camera fov by i*1e-6.
+    """
+    import inspect
+
+    takes_i = len(inspect.signature(fn).parameters) >= 1
+    call = (lambda i: fn(i)) if takes_i else (lambda i: fn())
+    _sync(call(0))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
+    outs = [call(i + 1) for i in range(iters)]
+    _sync(outs[-1])  # device executes in order; last sync drains the queue
     return (time.perf_counter() - t0) / iters
 
 
@@ -55,10 +65,14 @@ def bench_forward(resolution, width, height, label, results, chunk=None):
         # sorted chunking enables per-chunk dead-skip (see renderer): pick
         # a size giving >= 8 chunks so sky regions actually retire early
         chunk = max(2048, min(8192, (width * height) // 8))
-    # compact's full-width sorts amortize only on big frames
-    dt = _time(lambda: render_image(scene, width, height, RenderMode(),
-                                    chunk_size=chunk, sort_rays=True,
-                                    compact=width * height >= 262144))
+    import dataclasses
+
+    # compact's full-width sorts amortize only on big frames; the fov
+    # jitter makes each timed dispatch unique (see _time)
+    dt = _time(lambda i: render_image(
+        dataclasses.replace(scene, cam_fov=scene.cam_fov + i * 1e-6),
+        width, height, RenderMode(), chunk_size=chunk, sort_rays=True,
+        compact=width * height >= 262144))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
@@ -116,9 +130,12 @@ def bench_voxelized_mesh(results, resolution=8, width=1920, height=1080,
         accel_mode="chebyshev", march_dtype=jnp.bfloat16)
     label = (f"config3 voxelized glTF {vol.n_voxels}^3 "
              f"{width}x{height} fwd")
-    dt = _time(lambda: render_image(gpu, width, height, RenderMode(),
-                                    chunk_size=chunk, sort_rays=True,
-                                    compact=True))
+    import dataclasses
+
+    dt = _time(lambda i: render_image(
+        dataclasses.replace(gpu, cam_fov=gpu.cam_fov + i * 1e-6),
+        width, height, RenderMode(), chunk_size=chunk, sort_rays=True,
+        compact=True))
     rays = width * height
     results.append((label, dt * 1e3, rays / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {rays/dt/1e6:.2f} Mrays/s",
@@ -238,9 +255,12 @@ def bench_many_instances(resolution, size, label, results, n_inst=12):
         dir_light={"direction": np.asarray(vq.forward_vector(
             vq.from_euler_degrees(0.0, 45.0, -30.0))), "strength": 5.0},
         env=np.full((6, 4, 4, 3), (0.3, 0.4, 0.6), np.float32))
+    import dataclasses
+
     chunk = max(2048, min(8192, (size * size) // 8))
-    dt = _time(lambda: render_image(scene, size, size, RenderMode(),
-                                    chunk_size=chunk, sort_rays=True))
+    dt = _time(lambda i: render_image(
+        dataclasses.replace(scene, cam_fov=scene.cam_fov + i * 1e-6),
+        size, size, RenderMode(), chunk_size=chunk, sort_rays=True))
     results.append((label, dt * 1e3, size * size / dt))
     print(f"{label}: {dt*1e3:.1f} ms/frame, {size*size/dt/1e6:.2f} Mrays/s",
           file=sys.stderr, flush=True)
@@ -257,12 +277,18 @@ def bench_scaling(resolution, size, label, results):
     from vrt.render.renderer import render_image
 
     scene = _flagship_scene(resolution=resolution)
+    import dataclasses
+
+    def jit_scene(i):
+        return dataclasses.replace(scene, cam_fov=scene.cam_fov + i * 1e-6)
+
     n_dev = len(jax.devices())
-    dt1 = _time(lambda: render_image(scene, size, size, RenderMode()))
+    dt1 = _time(lambda i: render_image(jit_scene(i), size, size,
+                                       RenderMode()))
     if n_dev > 1:
         mesh = make_render_mesh(n_dev, 1)
-        dtn = _time(lambda: render_image_sharded(scene, size, size,
-                                                 RenderMode(), mesh))
+        dtn = _time(lambda i: render_image_sharded(jit_scene(i), size, size,
+                                                   RenderMode(), mesh))
         eff = dt1 / (dtn * n_dev)
     else:
         dtn, eff = dt1, 1.0

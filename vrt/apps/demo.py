@@ -186,6 +186,9 @@ def main(argv=None):
                     help="EVRenderMode 0-7")
     ap.add_argument("--out", default=None, help="directory for PNG frames")
     ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--render-scale", type=float, default=1.0,
+                    help="motion-resolution mode: render at this scale and "
+                         "upsample on device (e.g. 0.71 halves ray count)")
     args = ap.parse_args(argv)
 
     from vrt.core.platform import apply_platform_env
@@ -195,7 +198,8 @@ def main(argv=None):
         os.makedirs(args.out, exist_ok=True)
     inst = DemoInstance(args.scene, args.out, args.save_every)
     engine = Engine(inst, width=args.width, height=args.height,
-                    mode=RenderMode.from_enum(args.mode))
+                    mode=RenderMode.from_enum(args.mode),
+                    render_scale=args.render_scale)
     engine.start(max_frames=args.frames)
     print(f"rendered {engine.frame_count} frames at {engine.fps:.1f} fps")
 

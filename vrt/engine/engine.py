@@ -38,7 +38,8 @@ class Engine:
                  mode: RenderMode = RenderMode(),
                  chunk_size: int | str | None = "auto",
                  sort_rays: bool = True,
-                 pipelined: bool = True):
+                 pipelined: bool = True,
+                 render_scale: float = 1.0):
         self.instance = instance
         self.scene: Optional[Scene] = None
         self.width = width
@@ -50,13 +51,21 @@ class Engine:
         # a depth-2 swapchain.  False restores synchronous readback.
         self.pipelined = pipelined
         self._pending = None
+        # motion-resolution mode: render at width*scale x height*scale and
+        # bilinear-upsample ON DEVICE to the output size before readback.
+        # Opt-in quality trade for interactive motion (the 512^2 full-lit
+        # frame floors at ~125 ms on one v5e; scale 0.71 halves the ray
+        # count).  1.0 = native.
+        self.render_scale = float(render_scale)
+        self._rw = max(16, int(round(width * self.render_scale)))
+        self._rh = max(16, int(round(height * self.render_scale)))
         # "auto": sorted chunks sized for >=8 chunks per frame — enables
         # the renderer's dead-chunk skipping for sky regions (big frames
         # only; tiny frames render as one batch)
         if chunk_size == "auto":
             # 8192 measured fastest at frame scale (scripts/probe_frame_sweep)
-            chunk_size = (max(2048, min(8192, (width * height) // 8))
-                          if width * height > 16384 else None)
+            chunk_size = (max(2048, min(8192, (self._rw * self._rh) // 8))
+                          if self._rw * self._rh > 16384 else None)
         self.chunk_size = chunk_size
         self.sort_rays = sort_rays
         self.fps = 0.0
@@ -126,11 +135,16 @@ class Engine:
         # vrt.march.march_lanes_compact).  Volume buffers are NOT donated:
         # sync_gpu reuses them across frames unless a volume is dirty, so
         # donation would hand XLA buffers the next frame still reads.
-        img = render_image(self._gpu_scene, self.width, self.height,
+        img = render_image(self._gpu_scene, self._rw, self._rh,
                            self.render_mode, chunk_size=self.chunk_size,
                            sort_rays=self.sort_rays,
                            compact=(self.chunk_size is not None
-                                    and self.width * self.height >= 262144))
+                                    and self._rw * self._rh >= 262144))
+        if (self._rw, self._rh) != (self.width, self.height):
+            import jax
+
+            img = jax.image.resize(img, (self.height, self.width, 4),
+                                   "bilinear")
         # UNORM conversion ON DEVICE before readback (the reference's
         # R8G8B8A8_UNORM backbuffer, and 4x fewer bytes over the host
         # link — readback measured 0.4 s/frame at 720p for f32).

@@ -767,6 +767,7 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
             chunk, block, total_padded)
 
     st8 = None
+    bcomp = None  # composed block permutation (block mode)
     for i, k in enumerate(schedule):
         if i == 0:
             live = _unpack_rays(ray8)[4]
@@ -786,6 +787,7 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
             # cluster into the same chunks)
             bkey = jnp.where(blive, -bdepth, jnp.iinfo(jnp.int32).max)
             border = jnp.argsort(bkey, stable=True)
+            bcomp = border if bcomp is None else bcomp[border]
             ray8 = ray8.reshape(nb, block, 8)[border].reshape(-1, 8)
             if st8 is not None:
                 st8 = st8.reshape(nb, block, 8)[border].reshape(-1, 8)
@@ -826,8 +828,16 @@ def march_lanes_compact(vols: DeviceVolume, vol_ids, o, d, t_max,
         st8 = st8.reshape(-1, 8)
         ray8 = ray8.reshape(-1, 8)
 
-    order_now = _unpack_rays(ray8)[5]
-    st8 = st8[jnp.argsort(order_now)]
+    if bcomp is not None:
+        # blocks moved as units and lanes inside a block never reordered:
+        # restore with the inverse of the COMPOSED block permutation — a
+        # tiny nb-element argsort + one contiguous block gather, instead
+        # of the full-width row sort+gather the order column needs
+        nb = total_padded // block
+        st8 = st8.reshape(nb, block, 8)[jnp.argsort(bcomp)].reshape(-1, 8)
+    else:
+        order_now = _unpack_rays(ray8)[5]
+        st8 = st8[jnp.argsort(order_now)]
     if pad:
         st8 = st8[:total]
     carry = _unpack_state(st8)
@@ -869,9 +879,13 @@ def march_lanes_chunked(vols: DeviceVolume, vol_ids, o, d, t_max,
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), out)
 
 
+COMPACT_SCHEDULE_ENV = "VRT_COMPACT_SCHEDULE"
+COMPACT_BLOCK_ENV = "VRT_COMPACT_BLOCK"
+
+
 def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
-                         schedule: tuple = (8, 247),
-                         block: int | None = None):
+                         schedule: tuple | None = None,
+                         block: int | None = "default"):
     """Lane-marcher factory for ``march_scene``'s sequential candidate
     passes: the FIRST pass (which carries nearly all march work) gets
     mid-march compaction over WIDE chunks (``march_chunk`` — the in-loop
@@ -880,7 +894,22 @@ def make_compact_marcher(chunk: int = 8192, march_chunk: int = 65536,
     retired by the closest-hit t_max clamp — get the cheap chunked march
     at the caller's shading granularity, whose full-width sorts they
     could not amortize.  Create one marcher per march_scene call (the
-    counter is per-instance)."""
+    counter is per-instance).
+
+    Defaults are the round-5 sweep winner (scripts/probe_block_compact.py:
+    block512 (2,4,8,16,32,64,129) marched the flagship frame in 415 ms vs
+    470 for round 4's row-mode (8,247) — block packing makes rounds cheap
+    enough for long schedules).  The ``VRT_COMPACT_SCHEDULE`` /
+    ``VRT_COMPACT_BLOCK`` env vars override for A/B measurement — read at
+    TRACE time, so set them only for fresh processes ("0" block = row
+    mode)."""
+    import os as _os
+
+    if schedule is None:
+        schedule = tuple(int(x) for x in _os.environ.get(
+            COMPACT_SCHEDULE_ENV, "2,4,8,16,32,64,129").split(","))
+    if block == "default":
+        block = int(_os.environ.get(COMPACT_BLOCK_ENV, "512")) or None
     calls = {"n": 0}
 
     def marcher(vols, vol_ids, o, d, t_max, interp=True,

@@ -703,8 +703,11 @@ def render_image(scene: GPUScene, width: int, height: int,
             # more than the better march homogeneity saved.
             key = _scene_hit_key(scene, o, d)
             perm = jnp.argsort(key, stable=True)
-            o = o[perm]
-            d = d[perm]
+            # one 24 B-row gather instead of two 12 B ones (narrow-row
+            # gathers are row-count-bound on v5e; XProf measured the
+            # [R,3] permutes at ~33 ms/2M rows each)
+            od = jnp.concatenate([o, d], axis=1)[perm]
+            o, d = od[:, :3], od[:, 3:]
         pad = (-total) % chunk_size
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -859,8 +862,13 @@ def render_image(scene: GPUScene, width: int, height: int,
             skey = _scene_hit_key(scene, so, sd)
             skey = jnp.where(gate, skey, jnp.iinfo(jnp.int32).max)
             sperm = jnp.argsort(skey, stable=True)
-            so_s = so[sperm].reshape(-1, chunk_size, 3)
-            g_s = gate[sperm].reshape(-1, chunk_size)
+            # pack origin+gate into ONE 16 B row for the permute: the
+            # separate [N,3] f32 + [N] pred gathers measured 90 + 33 ms
+            # at the 4.16M-lane combined batch (XProf, frame trace)
+            sog = jnp.concatenate([so, gate.astype(jnp.float32)[:, None]],
+                                  axis=1)[sperm]
+            so_s = sog[:, :3].reshape(-1, chunk_size, 3)
+            g_s = (sog[:, 3] > 0.5).reshape(-1, chunk_size)
 
             def shadow_chunk(x):
                 oc1, g1 = x
