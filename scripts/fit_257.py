@@ -186,6 +186,10 @@ def main():
                     help="peak adam lr for SDF at the first stage; "
                          "halves per stage")
     ap.add_argument("--lr-col", type=float, default=0.05)
+    ap.add_argument("--smooth", type=float, default=0.3,
+                    help="per-step SDF smoothing projection at the first "
+                         "stage (halves per stage); kills per-voxel adam "
+                         "noise from single-view steps")
     ap.add_argument("--skip-fd", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "FIT_257.json"))
     args = ap.parse_args()
@@ -204,24 +208,64 @@ def main():
     cams = orbit_cams(args.views)
     hcam = holdout_cam()
 
-    # ---- targets: rendered ONCE from the full-resolution target scene ----
+    # ---- FD probes FIRST, then free their device state: the f32 probe at
+    # 257^3 holds a 537 MB corner table + grad graph, which OOMs next to
+    # the staged fit's live buffers (jit caches retain closed-over device
+    # constants; clear_caches releases them).
+    fd_rows_bf16 = fd_rows_f32_full = None
+    if not args.skip_fd:
+        print("FD grad probe (res 5, bf16 fit config)...", flush=True)
+        fd_rows_bf16 = fd_probe()
+        for r in fd_rows_bf16:
+            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
+                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
+                  flush=True)
+        jax.clear_caches()
+        print(f"FD grad probe (res {final_res}, f32)...", flush=True)
+        fd_rows_f32_full = fd_probe(resolution=final_res, size=128,
+                                    chunk=args.chunk, eps=0.2, k=3,
+                                    march_dtype="f32")
+        for r in fd_rows_f32_full:
+            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
+                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
+                  flush=True)
+        jax.clear_caches()
+
+    # ---- targets: rendered ONCE from the full-resolution target scene,
+    # each view under its own HEADLAMP light (dir light along the camera
+    # forward — the photometric-capture rig; with a fixed light most orbit
+    # views see the shadowed side as near-black pixels carrying no
+    # gradient, the diagnosed cause of round 4's non-convergence) --------
+    import dataclasses
+
+    from vrt.core import quat as vq_
+
+    def cam_args(cam):
+        pos = jnp.asarray(cam["position"], jnp.float32)
+        rot = jnp.asarray(cam["rotation"], jnp.float32)
+        fov = jnp.asarray(cam.get("fov", 60.0), jnp.float32)
+        return pos, rot, fov
+
+    # dir_light_dir points TOWARD the light; a light at the camera is
+    # -forward (the round-5 headlamp rig)
+    render_view = jax.jit(lambda s, pos, rot, fov: render_views(
+        dataclasses.replace(s, dir_light_dir=-vq_.forward_vector(rot)),
+        [dict(position=pos, rotation=rot, fov=fov)], w, h, mode,
+        chunk_size=args.chunk)[0])
+
     t0 = time.perf_counter()
     target_scene, _ = build_fit_scene(final_res)
     n_final = int(target_scene.volumes.n[0])
-    render_all = jax.jit(lambda s: render_views(
-        s, cams + [hcam], w, h, mode, chunk_size=args.chunk))
-    targets_all = jax.block_until_ready(render_all(target_scene))
-    targets, target_hold = targets_all[:-1], targets_all[-1]
+    targets = [render_view(target_scene, *cam_args(c)) for c in cams]
+    target_hold = jax.block_until_ready(
+        render_view(target_scene, *cam_args(hcam)))
     t_targets = time.perf_counter() - t0
-    print(f"rendered {args.views}+1 target views {w}x{h} at {n_final}^3: "
-          f"{t_targets:.1f}s (incl. compile)", flush=True)
-
-    render_hold = None  # built lazily at final res
+    print(f"rendered {args.views}+1 target views {w}x{h} at {n_final}^3 "
+          f"(headlamp rig): {t_targets:.1f}s (incl. compile)", flush=True)
 
     def eval_holdout(scene, params):
         s = rebuild_accel(graft_params(scene, params))
-        img = jax.jit(lambda s: render_views(
-            s, [hcam], w, h, mode, chunk_size=args.chunk))(s)[0]
+        img = render_view(s, *cam_args(hcam))
         return img, float(psnr(img, target_hold))
 
     # ---- staged fit ------------------------------------------------------
@@ -231,6 +275,8 @@ def main():
     total_steps = 0
     t_fit0 = time.perf_counter()
     for si, (res, steps) in enumerate(stages):
+        if si:
+            jax.clear_caches()  # drop the previous stage's executables
         _, scene = build_fit_scene(res)
         n = int(scene.volumes.n[0])
         if params is None:
@@ -252,7 +298,9 @@ def main():
             {"sdf": "sdf", "voxel_colors": "col"})
         state = opt.init(params)
         step = make_fit_step_view(scene, w, h, mode, opt,
-                                  chunk_size=args.chunk)
+                                  chunk_size=args.chunk,
+                                  light_follows_camera=True,
+                                  sdf_smooth=args.smooth * (0.5 ** si))
 
         losses, times = [], []
         for i in range(steps):
@@ -314,29 +362,12 @@ def main():
     except Exception as e:  # noqa: BLE001
         mem = {"unavailable": repr(e)}
 
-    fd_rows_bf16 = fd_rows_f32_full = None
-    if not args.skip_fd:
-        print("FD grad probe (res 5, bf16 fit config)...", flush=True)
-        fd_rows_bf16 = fd_probe()
-        for r in fd_rows_bf16:
-            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
-                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
-                  flush=True)
-        print(f"FD grad probe (res {final_res} = {n_final}^3, f32)...",
-              flush=True)
-        fd_rows_f32_full = fd_probe(resolution=final_res, size=128,
-                                    chunk=args.chunk, eps=0.2, k=3,
-                                    march_dtype="f32")
-        for r in fd_rows_f32_full:
-            print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
-                  f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
-                  flush=True)
-
     last = stage_reports[-1]
     rays = w * h
     report = {
         "design": "coarse-to-fine 65^3->129^3->257^3, 1 stochastic "
-                  "view/step (8 orbit views), per-param adam lr",
+                  "view/step (8 orbit views), per-param adam lr, "
+                  "headlamp light rig (dir light follows the camera)",
         "image": f"{w}x{h}", "views": args.views,
         "march_dtype": "bfloat16",
         "total_steps": total_steps,

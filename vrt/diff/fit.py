@@ -174,7 +174,9 @@ def make_fit_step(scene: GPUScene, cams: Sequence[Dict], width: int,
 
 def make_fit_step_view(scene: GPUScene, width: int, height: int,
                        mode: RenderMode, optimizer,
-                       chunk_size: int | None = None):
+                       chunk_size: int | None = None,
+                       light_follows_camera: bool = False,
+                       sdf_smooth: float = 0.0):
     """Single-view-per-step fit factory with a TRACED camera.
 
     step(params, opt_state, cam_pos[3], cam_rot[4], cam_fov[], target[H*W,3])
@@ -185,12 +187,27 @@ def make_fit_step_view(scene: GPUScene, width: int, height: int,
     per-voxel ray coverage across steps without widening any single step —
     the convergence fix for large grids where one step's rays cover a small
     fraction of the surface (257^3: ~1M rays/step vs 17M voxels).
+
+    ``light_follows_camera`` points the directional light along the
+    camera forward per view (a photometric-capture "headlamp" rig): with a
+    FIXED light most orbit views see the object's shadowed side as near-
+    black pixels carrying no color/shading gradient — the diagnosed cause
+    of round 4's non-converging 257^3 fit.  Targets must be rendered with
+    the same per-view light.
     """
 
     @jax.jit
     def step(params, opt_state, cam_pos, cam_rot, cam_fov, target):
         def loss_fn(p):
             s = rebuild_accel(graft_params(scene, p))
+            if light_follows_camera:
+                from vrt.core import quat as vq
+
+                # dir_light_dir points TOWARD the light (the shadow ray
+                # marches along it; radiance multiplies by n.wi): a light
+                # AT the camera is -forward
+                s = dataclasses.replace(
+                    s, dir_light_dir=-vq.forward_vector(cam_rot))
             cam = [dict(position=cam_pos, rotation=cam_rot, fov=cam_fov)]
             imgs = render_views(s, cam, width, height, mode,
                                 chunk_size=chunk_size)
@@ -198,10 +215,40 @@ def make_fit_step_view(scene: GPUScene, width: int, height: int,
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if sdf_smooth and "sdf" in updates:
+            # smooth the UPDATE, not the field: filters the per-voxel adam
+            # noise and spreads surface motion to neighboring voxels,
+            # without the equilibrium drift a field-level blur causes (a
+            # repeated field blur is a diffusion step — 600 of them at
+            # alpha 0.3 erased the whole interior, measured)
+            updates = dict(updates,
+                           sdf=smooth3(updates["sdf"], sdf_smooth))
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step
+
+
+def smooth3(x, alpha: float):
+    """Blend a separable 3-tap [1/4, 1/2, 1/4] blur into a grid field
+    [V,N,N,N(,C)]: ``(1-alpha)*x + alpha*blur(x)`` with edge-replicated
+    borders.
+
+    Used on the per-step SDF UPDATE during fitting (``make_fit_step_view
+    (sdf_smooth=...)``): per-voxel adam steps from single-view losses
+    deposit high-frequency noise on the surface (observed as a crusty fit
+    at 65^3), and the blur both filters it and spreads surface motion to
+    neighboring voxels.  Smoothing the update has no effect at
+    equilibrium — do NOT apply this to the field itself every step: a
+    repeated field blur is a diffusion step, and 600 of them at alpha 0.3
+    erased a 65^3 fit's entire interior (measured)."""
+    y = x
+    for ax in (1, 2, 3):
+        n = y.shape[ax]
+        lo = jnp.take(y, jnp.asarray([0] + list(range(n - 1))), axis=ax)
+        hi = jnp.take(y, jnp.asarray(list(range(1, n)) + [n - 1]), axis=ax)
+        y = 0.25 * lo + 0.5 * y + 0.25 * hi
+    return (1.0 - alpha) * x + alpha * y
 
 
 def upsample_params(params: Dict) -> Dict:
