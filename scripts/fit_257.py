@@ -137,27 +137,48 @@ def holdout_cam():
 
 
 def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3,
-             march_dtype="bf16", views=2):
+             march_dtype="bf16", views=2, pack_corners=True):
     """Finite-difference check of the fit gradient at ``resolution`` in
     the given march precision.  Returns per-voxel (analytic, fd, rel_err)
-    rows for the k largest-|g| SDF voxels."""
+    rows for the k largest-|g| SDF voxels.
+
+    ``pack_corners=False`` drops the packed corner table (march + resolve
+    fall back to 8 voxel gathers): needed for the f32 probe at 257^3 —
+    the 537 MB packed table blows the axon remote-compile request limit
+    (HTTP 413)."""
+    import dataclasses
+
     from vrt.diff.fit import graft_params, rebuild_accel, render_views
     from vrt.render.gpuscene import RenderMode
 
     mode = RenderMode()
     target_scene, scene = build_fit_scene(resolution,
                                           march_dtype=march_dtype)
+    if not pack_corners:
+        # drop BOTH packed tables (SDF corners and color corners): at
+        # 257^3 f32 they are 537 MB + 1.6 GB; the samplers fall back to
+        # per-voxel gathers
+        def strip(s):
+            return dataclasses.replace(
+                s, voxel_color_corners=None,
+                volumes=dataclasses.replace(s.volumes, corners=None))
+
+        target_scene, scene = strip(target_scene), strip(scene)
     cams = orbit_cams(views)
     targets = jax.jit(lambda s: render_views(s, cams, size, size, mode,
                                              chunk_size=chunk))(target_scene)
 
-    def loss(p):
+    # scene/targets are jit ARGUMENTS, not closure constants: the axon
+    # remote-compile request embeds closure constants, and a 257^3 f32
+    # SDF (68 MB) blows its body-size limit (HTTP 413)
+    def loss(p, scene, targets):
         s = rebuild_accel(graft_params(scene, p))
         imgs = render_views(s, cams, size, size, mode, chunk_size=chunk)
         return jnp.mean((imgs - targets) ** 2)
 
     params = {"sdf": scene.volumes.sdf}
-    g = np.asarray(jax.jit(jax.grad(loss))(params)["sdf"])
+    g = np.asarray(jax.jit(jax.grad(loss))(params, scene,
+                                           targets)["sdf"])
     base = np.asarray(scene.volumes.sdf)
     loss_j = jax.jit(loss)
     rows = []
@@ -167,11 +188,27 @@ def fd_probe(resolution=5, size=64, chunk=1024, eps=0.1, k=3,
         p[idx] += eps
         m = base.copy()
         m[idx] -= eps
-        fd = (float(loss_j({"sdf": jnp.asarray(p)}))
-              - float(loss_j({"sdf": jnp.asarray(m)}))) / (2 * eps)
+        fd = (float(loss_j({"sdf": jnp.asarray(p)}, scene, targets))
+              - float(loss_j({"sdf": jnp.asarray(m)}, scene,
+                             targets))) / (2 * eps)
         a = float(g[idx])
         rows.append(dict(voxel=[int(i) for i in idx], analytic=a, fd=fd,
                          rel_err=abs(fd - a) / max(abs(a), 1e-12)))
+    # directional derivative along the normalized analytic gradient: the
+    # per-voxel rows above are noise-limited at large grids (a 1-voxel
+    # perturbation moves the f32 loss by ~1e-6 of its value, and eps is a
+    # visible fraction of a cell so discrete traversal decisions can
+    # flip); the directional probe sums signal over ALL voxels while
+    # moving each voxel by ~eps/||1|| — well below any bracket flip.
+    gn = float(np.sqrt((g.astype(np.float64) ** 2).sum()))
+    u = (g / max(gn, 1e-30)).astype(np.float32)
+    deps = eps
+    fd_dir = (float(loss_j({"sdf": jnp.asarray(base + deps * u)}, scene,
+                           targets))
+              - float(loss_j({"sdf": jnp.asarray(base - deps * u)}, scene,
+                             targets))) / (2 * deps)
+    rows.append(dict(voxel="directional(g/|g|)", analytic=gn, fd=fd_dir,
+                     rel_err=abs(fd_dir - gn) / max(gn, 1e-12)))
     return rows
 
 
@@ -221,10 +258,11 @@ def main():
                   f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
                   flush=True)
         jax.clear_caches()
-        print(f"FD grad probe (res {final_res}, f32)...", flush=True)
+        print(f"FD grad probe (res {final_res}, f32, unpacked)...",
+              flush=True)
         fd_rows_f32_full = fd_probe(resolution=final_res, size=128,
                                     chunk=args.chunk, eps=0.2, k=3,
-                                    march_dtype="f32")
+                                    march_dtype="f32", pack_corners=False)
         for r in fd_rows_f32_full:
             print(f"  voxel {r['voxel']}: analytic {r['analytic']:.3e} "
                   f"fd {r['fd']:.3e} rel_err {r['rel_err']:.3f}",
