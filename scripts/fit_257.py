@@ -116,18 +116,25 @@ def build_fit_scene(resolution: int, seed: int = 0, march_dtype="bf16"):
 
 def orbit_cams(n_views: int, dist: float = 300.0, height: float = 60.0,
                yaw0: float = 0.0):
+    """Orbit cameras aimed EXACTLY at the origin via from_two_vectors.
+
+    (Euler aiming is a trap here: the reference composes pitch around the
+    WORLD right axis — ``FromAxisAngle(RIGHT, pitch) *
+    FromAxisAngle(UP, yaw)`` — so a pitch that looks down at yaw 0 looks
+    UP at yaw 180, and steep polar views miss the object entirely;
+    measured 118 degrees of aim error at pitch 65.)"""
     from vrt.core import quat as vq
 
     cams = []
     for i in range(n_views):
         yaw = yaw0 + 360.0 * i / n_views
         a = np.radians(yaw)
-        pos = (dist * np.cos(a), dist * np.sin(a), height)
-        # POSITIVE pitch looks down in the reference Euler convention
-        # (FromAxisAngle(RIGHT, pitch); verified numerically)
-        pitch = np.degrees(np.arctan2(height, dist))
-        rot = np.asarray(vq.from_euler_degrees(0.0, 180.0 + yaw, pitch))
-        cams.append(dict(position=pos, rotation=rot, fov=60.0))
+        pos = np.array([dist * np.cos(a), dist * np.sin(a), height],
+                       np.float32)
+        fwd = -pos / np.linalg.norm(pos)
+        rot = np.asarray(vq.from_two_vectors(
+            np.asarray(vq.FORWARD, np.float32), fwd))
+        cams.append(dict(position=tuple(pos), rotation=rot, fov=60.0))
     return cams
 
 
@@ -242,7 +249,14 @@ def main():
     stages = [tuple(int(x) for x in s.split(":")) for s in args.stages]
     final_res = stages[-1][0]
     w = h = args.size
-    cams = orbit_cams(args.views)
+    # capture rig: an equatorial orbit plus steep top/bottom views — the
+    # orbit alone sees the poles only at grazing angles, which left an
+    # uncarved crust on top of the round-5 interim fits
+    n_orbit = max(4, args.views - 6)
+    cams = (orbit_cams(n_orbit)
+            + orbit_cams(3, dist=120.0, height=260.0, yaw0=30.0)
+            + orbit_cams(3, dist=120.0, height=-260.0, yaw0=90.0))
+    n_views = len(cams)
     hcam = holdout_cam()
 
     # ---- FD probes FIRST, then free their device state: the f32 probe at
@@ -298,7 +312,7 @@ def main():
     target_hold = jax.block_until_ready(
         render_view(target_scene, *cam_args(hcam)))
     t_targets = time.perf_counter() - t0
-    print(f"rendered {args.views}+1 target views {w}x{h} at {n_final}^3 "
+    print(f"rendered {n_views}+1 target views {w}x{h} at {n_final}^3 "
           f"(headlamp rig): {t_targets:.1f}s (incl. compile)", flush=True)
 
     def eval_holdout(scene, params):
@@ -342,14 +356,14 @@ def main():
 
         losses, times = [], []
         for i in range(steps):
-            cam = cams[i % args.views]
+            cam = cams[i % n_views]
             ts = time.perf_counter()
             params, state, loss = step(
                 params, state,
                 jnp.asarray(cam["position"], jnp.float32),
                 jnp.asarray(cam["rotation"], jnp.float32),
                 jnp.asarray(cam["fov"], jnp.float32),
-                targets[i % args.views])
+                targets[i % n_views])
             loss = float(loss)
             dt = time.perf_counter() - ts
             losses.append(loss)
@@ -361,9 +375,9 @@ def main():
         total_steps += steps
         # epoch means: average over full view cycles so the curve metric
         # isn't dominated by per-view difficulty differences
-        epochs = [float(np.mean(losses[e:e + args.views]))
-                  for e in range(0, len(losses) - args.views + 1,
-                                 args.views)]
+        epochs = [float(np.mean(losses[e:e + n_views]))
+                  for e in range(0, len(losses) - n_views + 1,
+                                 n_views)]
         _, p_hold = eval_holdout(scene, params)
         steady = sorted(times[1:])[:max(1, (len(times) - 1) // 2)]
         stage_reports.append(dict(
@@ -376,11 +390,19 @@ def main():
         print(f"stage {res} done: epoch-mean {epochs[0]:.6f} -> "
               f"{epochs[-1]:.6f}, held-out PSNR {p_hold:.2f} dB",
               flush=True)
+        # crash insurance: the fitted fields survive an OOM later on
+        np.save("/tmp/fit257_sdf.npy", np.asarray(params["sdf"]))
+        np.save("/tmp/fit257_colors.npy",
+                np.asarray(params["voxel_colors"]))
 
     t_fit = time.perf_counter() - t_fit0
 
     # ---- final evidence --------------------------------------------------
-    _, final_scene = build_fit_scene(final_res)
+    # reuse the LAST stage's scene (it is final-res) and drop the stage's
+    # step executables first: rebuilding the 257^3 scene next to them
+    # OOM'd the 16 GB chip
+    final_scene = scene
+    jax.clear_caches()
     img_fit, psnr_hold = eval_holdout(final_scene, params)
     img_fit = np.asarray(img_fit).reshape(h, w, 3)
     img_tgt = np.asarray(target_hold).reshape(h, w, 3)
@@ -406,7 +428,7 @@ def main():
         "design": "coarse-to-fine 65^3->129^3->257^3, 1 stochastic "
                   "view/step (8 orbit views), per-param adam lr, "
                   "headlamp light rig (dir light follows the camera)",
-        "image": f"{w}x{h}", "views": args.views,
+        "image": f"{w}x{h}", "views": n_views,
         "march_dtype": "bfloat16",
         "total_steps": total_steps,
         "fit_wall_s": round(t_fit, 1),
