@@ -137,6 +137,16 @@ class GPUScene:
         return self.inst_volume.shape[0]
 
 
+# Corner-packed colors pay off when the RAY count is large relative to
+# the grid: the packed table re-packs in-jit per fit step (differentiable
+# slices over the whole grid), so its cost scales with grid size while
+# its gather/scatter savings scale with rays.  Measured: config6 (2M rays,
+# 65^3 grid, 52 MB packed) fit step 2638 -> 1830 ms; config4 (131k rays,
+# 257^3 grid, 815 MB packed) REGRESSED 430 -> 1057 ms.  Budget excludes
+# the 257^3-scale tables.
+COLOR_CORNER_BUDGET_BYTES = 256_000_000
+
+
 def pack_voxel_color_corners(colors, dtype=None):
     """[V,N,N,N,3] per-voxel colors -> [V,N,N,N,8,3] per-cell corner rows
     (VOXEL_COORDS order) with one zero pad plane, so the trilinear albedo
@@ -336,7 +346,10 @@ def build_scene(volumes: Sequence,  # VoxelVolume
             jnp.asarray(pack_voxel_color_corners(
                 np.asarray(voxel_colors, np.float32),
                 dtype=np.dtype(march_dtype) if march_dtype else None))
-            if voxel_colors is not None else None),
+            if (voxel_colors is not None
+                and np.asarray(voxel_colors).size * 8
+                * np.dtype(march_dtype or np.float32).itemsize
+                <= COLOR_CORNER_BUDGET_BYTES) else None),
         use_voxel_colors=voxel_colors is not None,
         num_point=min(len(point_lights), MAX_POINT_LIGHTS),
         num_spot=min(len(spot_lights), MAX_SPOT_LIGHTS),
