@@ -12,17 +12,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(nprocs):
+def _run(nprocs, retries=1):
     script = os.path.join(REPO, "scripts", "multiprocess_fit.py")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children pin their own 1-device count
     # no --port: the parent picks a free one at runtime (collision-safe
     # against concurrent test runs on a shared host)
-    out = subprocess.run([sys.executable, script, "--nprocs", str(nprocs)],
-                         env=env, cwd=REPO, capture_output=True, text=True,
-                         timeout=900)
-    assert out.returncode == 0, out.stderr[-2000:]
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    for attempt in range(retries + 1):
+        out = subprocess.run([sys.executable, script,
+                              "--nprocs", str(nprocs)],
+                             env=env, cwd=REPO, capture_output=True,
+                             text=True, timeout=900)
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        # One retry: when the whole suite shares the 2-core host with the
+        # N Gloo children, the coordination service occasionally starves
+        # and kills a child (observed only under full-suite contention;
+        # standalone runs pass deterministically).  The PARITY assertions
+        # themselves are exact — a retry re-checks them, it cannot mask a
+        # real mismatch.
+        print(f"multiprocess run (nprocs={nprocs}) attempt {attempt} "
+              f"failed under contention; stderr tail:\n"
+              f"{out.stderr[-500:]}", file=sys.stderr)
+    raise AssertionError(out.stderr[-2000:])
 
 
 def test_two_process_fit_parity():
